@@ -1,0 +1,158 @@
+"""DNA base alphabet and vectorized sequence conversion.
+
+TPU-native counterpart of the reference's ``dna`` package
+(/root/reference/dna/dna.go:4-21, /root/reference/dna/convert.go:13-190).
+
+Design notes (TPU-first):
+  - A sequence is an int8 numpy/jax array of base codes. The 13-symbol
+    alphabet uses the same integer codes as the reference so that record
+    formats and golden files line up exactly.
+  - Bit-packing (dnaTwoBit/dnaThreeBit in the reference) is intentionally
+    absent: on TPU, int8 lanes on the VPU give the same bit-parallelism
+    (a (8,128) int8 tile compares 1024 bases per cycle), so the packed
+    representations would only add unpack overhead.
+  - All string<->code conversion is table-driven numpy (O(n) vectorized),
+    not per-character Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Base codes — must match /root/reference/dna/dna.go:8-21 exactly.
+A = 0
+C = 1
+G = 2
+T = 3
+N = 4
+LOWER_A = 5
+LOWER_C = 6
+LOWER_G = 7
+LOWER_T = 8
+LOWER_N = 9
+GAP = 10
+DOT = 11
+NIL = 12
+
+NUM_BASES = 13
+
+_BASE_TO_CHAR = np.frombuffer(b"ACGTNacgtn-.*", dtype=np.uint8)
+
+# char -> code lookup (255 = invalid). '*' -> NIL per dna/convert.go:37.
+_CHAR_TO_BASE = np.full(256, 255, dtype=np.uint8)
+for _i, _ch in enumerate(b"ACGTNacgtn-.*"):
+    _CHAR_TO_BASE[_ch] = _i
+
+# uppercase / lowercase folding tables (dna/modify.go semantics).
+_TO_UPPER = np.arange(NUM_BASES, dtype=np.int8)
+_TO_UPPER[LOWER_A:LOWER_N + 1] = np.arange(A, N + 1, dtype=np.int8)
+_TO_LOWER = np.arange(NUM_BASES, dtype=np.int8)
+_TO_LOWER[A:N + 1] = np.arange(LOWER_A, LOWER_N + 1, dtype=np.int8)
+
+# complement table (dna/modify.go:75-148): A<->T, C<->G, case preserved,
+# N/n map to themselves, Gap/Dot/Nil map to themselves.
+_COMPLEMENT = np.array(
+    [T, G, C, A, N, LOWER_T, LOWER_G, LOWER_C, LOWER_A, LOWER_N, GAP, DOT, NIL],
+    dtype=np.int8,
+)
+
+
+class InvalidBaseError(ValueError):
+    pass
+
+
+def from_string(s: str | bytes) -> np.ndarray:
+    """StringToBases (dna/convert.go:127): strict conversion, errors on
+    invalid characters."""
+    raw = np.frombuffer(s.encode() if isinstance(s, str) else s, dtype=np.uint8)
+    codes = _CHAR_TO_BASE[raw]
+    if (codes == 255).any():
+        bad = chr(int(raw[codes == 255][0]))
+        raise InvalidBaseError(
+            f"invalid base {bad!r}: only AaCcGgTtNn-.* are supported"
+        )
+    return codes.astype(np.int8)
+
+
+def from_string_forced(s: str | bytes) -> np.ndarray:
+    """StringToBasesForced: invalid characters are masked to N."""
+    raw = np.frombuffer(s.encode() if isinstance(s, str) else s, dtype=np.uint8)
+    codes = _CHAR_TO_BASE[raw]
+    codes = np.where(codes == 255, np.uint8(N), codes)
+    return codes.astype(np.int8)
+
+
+def to_string(seq: np.ndarray) -> str:
+    """BasesToString (dna/convert.go:166)."""
+    seq = np.asarray(seq)
+    return _BASE_TO_CHAR[seq.astype(np.int64)].tobytes().decode()
+
+
+def to_upper(seq: np.ndarray) -> np.ndarray:
+    return _TO_UPPER[np.asarray(seq).astype(np.int64)]
+
+
+def to_lower(seq: np.ndarray) -> np.ndarray:
+    return _TO_LOWER[np.asarray(seq).astype(np.int64)]
+
+
+def complement(seq: np.ndarray) -> np.ndarray:
+    """ComplementSingleBase semantics vectorized (dna/modify.go:75)."""
+    return _COMPLEMENT[np.asarray(seq).astype(np.int64)]
+
+
+def reverse_complement(seq: np.ndarray) -> np.ndarray:
+    return complement(np.asarray(seq))[::-1]
+
+
+def count_gc(seq: np.ndarray) -> int:
+    """GC count matching dna/examine.go CountGC (counts G,C,g,c)."""
+    seq = np.asarray(seq)
+    return int(np.isin(seq, (C, G, LOWER_C, LOWER_G)).sum())
+
+
+def count_base(seq: np.ndarray, base: int) -> int:
+    return int((np.asarray(seq) == base).sum())
+
+
+def count_base_ignore_case(seq: np.ndarray, base: int) -> int:
+    """Counts both cases of the given (upper-case) base code."""
+    return int((to_upper(np.asarray(seq)) == base).sum())
+
+
+def is_lower(seq: np.ndarray) -> np.ndarray:
+    seq = np.asarray(seq)
+    return (seq >= LOWER_A) & (seq <= LOWER_N)
+
+
+def compare_seqs_case_sensitive(a: np.ndarray, b: np.ndarray) -> int:
+    """Lexicographic compare matching dna.CompareSeqsCaseSensitive."""
+    a, b = np.asarray(a), np.asarray(b)
+    n = min(len(a), len(b))
+    neq = np.nonzero(a[:n] != b[:n])[0]
+    if len(neq):
+        i = neq[0]
+        return -1 if a[i] < b[i] else 1
+    return (len(a) > len(b)) - (len(a) < len(b))
+
+
+def compare_seqs_ignore_case(a: np.ndarray, b: np.ndarray) -> int:
+    return compare_seqs_case_sensitive(to_upper(a), to_upper(b))
+
+
+def all_gaps(n: int) -> np.ndarray:
+    """CreateAllGaps (dna/dna.go:24)."""
+    return np.full(n, GAP, dtype=np.int8)
+
+
+def all_ns(n: int) -> np.ndarray:
+    """CreateAllNs (dna/dna.go:33)."""
+    return np.full(n, N, dtype=np.int8)
+
+
+def dist(a: np.ndarray, b: np.ndarray) -> int:
+    """Hamming distance over equal-length seqs (dna/examine.go Dist)."""
+    a, b = np.asarray(a), np.asarray(b)
+    if len(a) != len(b):
+        raise ValueError("Dist requires equal-length sequences")
+    return int((a != b).sum())

@@ -1,0 +1,152 @@
+"""FASTA reading/writing and multiFa alignment coordinate math.
+
+Counterpart of /root/reference/fasta/fasta.go and multiFa.go. Sequences are
+int8 code arrays (see gonomics_tpu.dna); parsing is line-batched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import IO, Iterator
+
+import numpy as np
+
+from .. import dna
+from .. import fileio
+
+
+@dataclass
+class Fasta:
+    """fasta.Fasta (fasta/fasta.go:18-21)."""
+
+    name: str
+    seq: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int8))
+
+    def __eq__(self, other) -> bool:  # fasta/compare.go IsEqual
+        return (
+            isinstance(other, Fasta)
+            and self.name == other.name
+            and len(self.seq) == len(other.seq)
+            and bool((np.asarray(self.seq) == np.asarray(other.seq)).all())
+        )
+
+
+def _parse(f: IO[str], conv) -> Iterator[Fasta]:
+    name: str | None = None
+    chunks: list[np.ndarray] = []
+    for line in fileio.real_lines(f):
+        if line.startswith(">"):
+            if name is not None:
+                yield Fasta(name, _concat(chunks))
+            name = line[1:]
+            chunks = []
+        elif line:
+            if name is None:
+                raise ValueError("fasta record missing a sequence name (e.g. >chr1)")
+            chunks.append(conv(line))
+    if name is not None:
+        yield Fasta(name, _concat(chunks))
+
+
+def _concat(chunks: list[np.ndarray]) -> np.ndarray:
+    if not chunks:
+        return np.zeros(0, dtype=np.int8)
+    return np.concatenate(chunks)
+
+
+def read(filename: str) -> list[Fasta]:
+    """fasta.Read (fasta/fasta.go:31): names must be unique."""
+    with fileio.easy_open(filename) as f:
+        records = list(_parse(f, dna.from_string))
+    names = [r.name for r in records]
+    if len(set(names)) != len(names):
+        raise ValueError("fasta record names must be unique")
+    return records
+
+
+def read_forced(filename: str) -> list[Fasta]:
+    """fasta.ReadForced: invalid characters masked to N."""
+    with fileio.easy_open(filename) as f:
+        return list(_parse(f, dna.from_string_forced))
+
+
+def to_map(records: list[Fasta]) -> dict[str, np.ndarray]:
+    m: dict[str, np.ndarray] = {}
+    for r in records:
+        if r.name in m:
+            raise ValueError(f"{r.name} used for multiple fasta records")
+        m[r.name] = r.seq
+    return m
+
+
+def read_to_map(filename: str) -> dict[str, np.ndarray]:
+    return to_map(read(filename))
+
+
+def write_fasta(f: IO[str], rec: Fasta, line_length: int = 50) -> None:
+    """fasta.WriteFasta (fasta/fasta.go:167): 50-char wrapped lines."""
+    f.write(f">{rec.name}\n")
+    s = np.asarray(rec.seq)
+    for i in range(0, len(s), line_length):
+        f.write(dna.to_string(s[i:i + line_length]))
+        f.write("\n")
+
+
+def write(filename: str, records: list[Fasta], line_length: int = 50) -> None:
+    with fileio.easy_create(filename) as f:
+        for rec in records:
+            write_fasta(f, rec, line_length)
+
+
+# ---------------------------------------------------------------------------
+# multiFa alignment coordinate math (fasta/multiFa.go:10-94)
+# ---------------------------------------------------------------------------
+
+def ref_pos_to_aln_pos(record: Fasta, ref_pos: int) -> int:
+    """RefPosToAlnPos (multiFa.go:10). Vectorized equivalent of the
+    reference loop: scans columns alnStart+1.., counting non-gap columns,
+    and returns the column where the count reaches ref_pos."""
+    return ref_pos_to_aln_pos_counter(record, ref_pos, 0, 0)
+
+
+def ref_pos_to_aln_pos_counter(record: Fasta, ref_pos: int,
+                               ref_start: int, aln_start: int) -> int:
+    """RefPosToAlnPosCounter (multiFa.go:24)."""
+    if ref_start > ref_pos:
+        raise ValueError("refStart > RefPos")
+    if ref_start == ref_pos:
+        return aln_start
+    seq = np.asarray(record.seq)
+    ng = np.cumsum(seq[aln_start + 1:] != dna.GAP)
+    idx = int(np.searchsorted(ng, ref_pos - ref_start, side="left"))
+    if idx >= len(ng):
+        raise IndexError("Ran out of chromosome.")
+    return aln_start + 1 + idx
+
+
+def aln_pos_to_ref_pos(record: Fasta, aln_pos: int) -> int:
+    """AlnPosToRefPos (multiFa.go:84): counts non-gap columns in
+    seq[:aln_pos] (reference position of the base at that column)."""
+    return aln_pos_to_ref_pos_counter(record, aln_pos, 0, 0)
+
+
+def aln_pos_to_ref_pos_counter(record: Fasta, aln_pos: int,
+                               ref_start: int, aln_start: int) -> int:
+    """AlnPosToRefPosCounter (multiFa.go:89-107), literal semantics."""
+    seq = np.asarray(record.seq)
+    if aln_start > aln_pos:
+        ref_start, aln_start = 0, 0
+    if aln_pos > len(seq):
+        raise IndexError("Ran out of chromosome.")
+    return ref_start + int((seq[aln_start:aln_pos] != dna.GAP).sum())
+
+
+def segregating_sites(records: list[Fasta]) -> list[int]:
+    """SegregatingSites (multiFa.go:179): columns where sequences differ
+    (gaps count as differences; columns with N in any sequence skipped)."""
+    if not records:
+        return []
+    mat = np.stack([np.asarray(r.seq) for r in records])
+    has_n = (dna.to_upper(mat) == dna.N).any(axis=0)
+    differs = (mat != mat[0]).any(axis=0)
+    return [int(i) for i in np.nonzero(differs & ~has_n)[0]]
