@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: affine-gap DP throughput (GCUPS) on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "affine_gap_gcups", "value": N, "unit": "GCUPS",
+   "vs_baseline": N, ...}
+
+vs_baseline compares against a single-threaded C++ Gotoh DP compiled at
+bench time (native/affine_baseline.cpp) — the performance class of the
+reference Go align.AffineGap (no Go toolchain on this machine; see
+BASELINE.md "Measurement plan").
+
+Timing note: block_until_ready is unreliable over the axon tunnel and a
+sync fetch costs ~30ms RTT, so device time is measured by running chains
+of data-dependent kernel calls and differencing two chain lengths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def measure_baseline() -> float:
+    """Single-thread C++ affine DP cells/s."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native", "affine_baseline.cpp")
+    exe = os.path.join(here, "native", "affine_baseline")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(["g++", "-O2", "-o", exe, src], check=True)
+    out = subprocess.run([exe, "1024", "1024", "40"], check=True,
+                         capture_output=True, text=True)
+    return float(out.stdout.strip())
+
+
+def measure_tpu(B: int = 256, L: int = 1024) -> float:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
+    from gonomics_tpu.ops.wavefront import wavefront_align
+
+    rng = np.random.default_rng(0)
+    alpha = jnp.asarray(rng.integers(0, 4, (B, L)), jnp.int8)
+    beta = jnp.asarray(rng.integers(0, 4, (B, L)), jnp.int8)
+    fin = jnp.full((B, 1), 2 * L, jnp.int32)
+
+    def chain(k, alpha):
+        res = None
+        for _ in range(k):
+            res = wavefront_align(alpha, beta, fin, HUMAN_CHIMP_TWO, n=L, m=L,
+                                  gap_open=-600, gap_extend=-150,
+                                  with_trace=False, mode="affine")
+            # data dependency serializes successive kernel calls on-device
+            alpha = jnp.clip(jnp.abs(res[:, :L]) % 4, 0, 3).astype(jnp.int8)
+        return res
+
+    np.asarray(chain(1, alpha))  # warm-up/compile
+
+    def timed(k: int) -> float:
+        t0 = time.perf_counter()
+        np.asarray(chain(k, alpha))
+        return time.perf_counter() - t0
+
+    short, long_ = 2, 34
+    t_short = min(timed(short) for _ in range(3))
+    t_long = min(timed(long_) for _ in range(3))
+    dt = (t_long - t_short) / (long_ - short)
+    return B * L * L / dt
+
+
+def main() -> None:
+    base = measure_baseline()
+    tpu = measure_tpu()
+    out = {
+        "metric": "affine_gap_gcups",
+        "value": round(tpu / 1e9, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(tpu / base, 1),
+        "baseline_gcups": round(base / 1e9, 3),
+        "baseline": "single-thread C++ Gotoh (Go-reference class), this host",
+        "config": "B=256 pairs, 1024x1024, humanChimpTwo, score-only",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
