@@ -1,0 +1,337 @@
+"""callVariants — joint variant caller over experimental + normal samples.
+
+Behavioral counterpart of /root/reference/cmd/callVariants
+(callVariants.go, testVariant.go): per-file pileups, position-synced
+merge, Fisher's exact test on the experimental-vs-background 2x2 table
+with AF/strand-bias/depth filters, multi-allelic VCF assembly with
+deletion anchoring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+import numpy as np
+
+from .. import dna, fileio
+from ..io import sam as samio
+from ..io import vcf as vcfio
+from ..io.fai import Seeker
+from ..numbers import fisher_exact
+from ..pileup import Pile, calc_depth, pileup, sum_piles, sync_pileups
+
+SNV, INS, DEL = 0, 1, 2
+
+
+def _fmt_p(p: float) -> str:
+    return f"{p:.0g}"
+
+
+def _fdiv(x: float, y: float) -> float:
+    """Go float64 division: 0/0 = NaN, x/0 = +/-Inf (comparisons with NaN
+    are false, matching the reference's exclusion-case behavior)."""
+    if y != 0:
+        return x / y
+    if x == 0:
+        return float("nan")
+    return float("inf") if x > 0 else float("-inf")
+
+
+def make_output_header(filenames: list[str]) -> vcfio.Header:
+    sample_names = [os.path.splitext(os.path.basename(f))[0]
+                    for f in filenames]
+    t = datetime.date.today().strftime("%Y%m%d")
+    text = [
+        "##fileformat=VCFv4.2",
+        f"##fileDate={t}",
+        "##source=github.com/vertgenlab/gonomics",
+        "##phasing=none",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Total Depth">',
+        '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Depth of Each Allele">',
+        '##FORMAT=<ID=PV,Number=A,Type=Float,Description="p value for Each Alternate Allele">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(sample_names),
+    ]
+    return vcfio.Header(text=text)
+
+
+def _get_ref(start: int, end: int, chrom: str, ref: Seeker) -> np.ndarray:
+    """testVariant.go getRef: base before + requested range, N-padded at
+    chromosome start; uppercased."""
+    seek_start = start - 1
+    if seek_start == -1:
+        seek_start = 0
+    bases = dna.to_upper(ref.seek_by_name(chrom, seek_start, end))
+    if len(bases) == 1:
+        bases = np.concatenate(([np.int8(dna.N)], bases))
+    return bases
+
+
+def _get_possible_alts(exp: list[Pile], ref_base: int):
+    """testVariant.go getPossibleAlts. Deletion keys are emitted in sorted
+    numeric order and insertions in (length, lexicographic) order — the
+    reference iterates Go maps (random order) but sorts insertions; its
+    goldens are consistent with sorted deletion order."""
+    s = sum_piles(exp)
+    alts: list[str] = []
+    types: list[int] = []
+    for i in range(13):
+        if i == ref_base or i == dna.GAP:
+            continue
+        if s.count_f[i] > 0 or s.count_r[i] > 0:
+            alts.append(dna.to_string(np.array([i], np.int8)))
+            types.append(SNV)
+    del_keys = sorted(set(k for k, v in s.del_count_f.items() if v > 0)
+                      | set(k for k, v in s.del_count_r.items() if v > 0))
+    for k in del_keys:
+        alts.append(str(k))
+        types.append(DEL)
+    ins_keys = set(k for k, v in s.ins_count_f.items() if v > 0) \
+        | set(k for k, v in s.ins_count_r.items() if v > 0)
+    for k in sorted(ins_keys, key=lambda x: (len(x), x)):
+        alts.append(k)
+        types.append(INS)
+    return alts, types
+
+
+def _fishers_exact_test(alt: str, exp: Pile, bkgd: Pile, has_norm: bool,
+                        min_af, max_af, max_strand_bias, min_coverage,
+                        min_alt_reads, var_type: int) -> float:
+    """testVariant.go fishersExactTest, exclusion cases in order."""
+    if var_type == SNV:
+        code = int(dna.from_string(alt)[0])
+        c = int(exp.count_f[code] + exp.count_r[code])
+        d = int(bkgd.count_f[code] + bkgd.count_r[code])
+        fwd = int(exp.count_f[code])
+    elif var_type == INS:
+        c = exp.ins_count_f.get(alt, 0) + exp.ins_count_r.get(alt, 0)
+        d = bkgd.ins_count_f.get(alt, 0) + bkgd.ins_count_r.get(alt, 0)
+        fwd = exp.ins_count_f.get(alt, 0)
+    else:
+        k = int(alt)
+        c = exp.del_count_f.get(k, 0) + exp.del_count_r.get(k, 0)
+        d = bkgd.del_count_f.get(k, 0) + bkgd.del_count_r.get(k, 0)
+        fwd = exp.del_count_f.get(k, 0)
+
+    fwd_strand_bias = _fdiv(fwd, c)
+    if fwd_strand_bias > max_strand_bias or fwd_strand_bias < 1 - max_strand_bias:
+        return 1.0
+
+    a = calc_depth(exp) - c
+    b = calc_depth(bkgd) - d
+    if not has_norm:
+        b -= a
+        d -= c
+
+    if c < min_alt_reads:
+        return 1.0
+    if a == b and c == d:
+        return 1.0
+    if _fdiv(c, c + a) < _fdiv(d, d + b):
+        return 1.0
+    if a + c < min_coverage:
+        return 1.0
+    if _fdiv(c, c + a) < min_af or _fdiv(c, c + a) > max_af:
+        return 1.0
+    return fisher_exact(a, b, c, d, True)
+
+
+def _get_format_data(s: Pile, s_idx: int, ref_base: int, alts: list[str],
+                     alt_pvals: list[list[float]], var_types: list[int]):
+    depth = calc_depth(s)
+    pvals = [0.0] * len(alts)
+    counts = [int(s.count_f[ref_base] + s.count_r[ref_base])]
+    for i, alt in enumerate(alts):
+        if var_types[i] == SNV:
+            b = int(dna.from_string(alt)[0])
+            counts.append(int(s.count_f[b] + s.count_r[b]))
+        elif var_types[i] == INS:
+            counts.append(s.ins_count_f.get(alt, 0)
+                          + s.ins_count_r.get(alt, 0))
+        else:
+            k = int(alt)
+            counts.append(s.del_count_f.get(k, 0) + s.del_count_r.get(k, 0))
+        if s_idx < len(alt_pvals[i]):
+            pvals[i] = alt_pvals[i][s_idx]
+    genotype = [i for i, c in enumerate(counts) if c > 0]
+    if len(genotype) == 1:
+        genotype.append(genotype[0])
+    return genotype, depth, counts, pvals
+
+
+def _sprint_ad(ad: list[int]) -> str:
+    return ",".join(str(x) for x in ad)
+
+
+def _sprint_pv(pv: list[float]) -> str:
+    if len(pv) == 1 and pv[0] == -1:
+        return "."
+    return ",".join(_fmt_p(x) for x in pv)
+
+
+def _adjust_alts(v: vcfio.Vcf, deletion_indexes: list[int],
+                 var_types: list[int], ref: Seeker) -> vcfio.Vcf:
+    """testVariant.go adjustAlts + get*AltString."""
+    del_lens = [int(v.alt[i]) for i in deletion_indexes]
+    longest = max(del_lens, default=0)
+    has_anchor = False
+    if deletion_indexes:
+        v.pos -= 1
+        ref_bases = _get_ref(v.pos, v.pos + longest, v.chrom, ref)
+        v.ref = dna.to_string(ref_bases)
+        has_anchor = True
+    del_len_idx = 0
+    for i in range(len(v.alt)):
+        if var_types[i] == SNV:
+            s = (v.ref[0] if has_anchor else "") + v.alt[i][0]
+            if len(v.ref) > 2:
+                s += v.ref[2:]
+            v.alt[i] = s
+        elif var_types[i] == INS:
+            if not has_anchor:
+                v.alt[i] = v.ref + v.alt[i]
+            else:
+                s = v.ref[:2] + v.alt[i]
+                if len(v.ref) > 2:
+                    s += v.ref[2:]
+                v.alt[i] = s
+        else:
+            d = del_lens[del_len_idx]
+            del_len_idx += 1
+            s = v.ref[0]
+            if len(v.ref) > d + 1:
+                s += v.ref[d + 1:]
+            v.alt[i] = s
+    return v
+
+
+def get_variant(exp: list[Pile], norm: list[Pile], header: samio.Header,
+                ref: Seeker, max_p, min_af, max_af, max_strand_bias,
+                min_coverage, min_alt_reads):
+    """testVariant.go getVariant."""
+    warnings: list[str] = []
+    if not any(p.ref_idx != -1 for p in exp):
+        return None
+    if not any(p.ref_idx != -1 for p in norm):
+        bkgd = sum_piles(exp)
+        warnings.append("NO_NORMAL")
+        has_norm = False
+    else:
+        bkgd = sum_piles(norm)
+        has_norm = True
+
+    chrom = header.chroms[bkgd.ref_idx].name
+    ref_bases = _get_ref(int(bkgd.pos) - 1, int(bkgd.pos), chrom, ref)
+
+    possible_alts, var_types = _get_possible_alts(exp, int(ref_bases[1]))
+    alt_pvals = []
+    for i, alt in enumerate(possible_alts):
+        row = []
+        for e in exp:
+            if e.ref_idx == -1:
+                row.append(1.0)
+            else:
+                row.append(_fishers_exact_test(
+                    alt, e, bkgd, has_norm, min_af, max_af, max_strand_bias,
+                    min_coverage, min_alt_reads, var_types[i]))
+        alt_pvals.append(row)
+
+    # getPassingAlts
+    alts, pvals, types = [], [], []
+    for i in range(len(possible_alts)):
+        if any(p < max_p for p in alt_pvals[i]):
+            alts.append(possible_alts[i])
+            pvals.append(alt_pvals[i])
+            types.append(var_types[i])
+    if not alts:
+        return None
+
+    # makeVcf
+    v = vcfio.Vcf(chrom=chrom, pos=int(bkgd.pos), id=".",
+                  filter=";".join(warnings), info=".",
+                  format=["GT", "DP", "AD", "PV"])
+    v.samples = [vcfio.Sample() for _ in range(len(exp) + len(norm))]
+    all_samples = exp + norm
+    for i, s in enumerate(all_samples):
+        genotype, depth, counts, pv = _get_format_data(
+            s, i, int(ref_bases[1]), alts, pvals, types)
+        if i >= len(exp):
+            pv = [-1]
+        v.samples[i].alleles = genotype if genotype else None
+        v.samples[i].phase = [False] * len(genotype)
+        v.samples[i].format_data = ["", str(depth), _sprint_ad(counts),
+                                    _sprint_pv(pv)]
+    v.ref = dna.to_string(ref_bases[1:2])
+    v.alt = list(alts)
+    deletion_indexes = [i for i, t in enumerate(types) if t == DEL]
+    return _adjust_alts(v, deletion_indexes, types, ref)
+
+
+def call_variants(experimental_files: list[str], normal_files: list[str],
+                  ref_file: str, out_file: str, max_p=0.001, min_af=0.01,
+                  max_af=1.0, max_strand_bias=0.9, min_coverage=10,
+                  min_mapq=10, min_alt_reads=1) -> None:
+    out = fileio.easy_create(out_file)
+    vcfio.new_write_header(
+        out, make_output_header(experimental_files + normal_files))
+
+    read_filters = [lambda s: s.mapq >= min_mapq]
+    pile_filters = [lambda p: calc_depth(p) >= min_coverage]
+
+    headers = []
+    sample_piles = []
+    for fn in experimental_files + normal_files:
+        header, reads = samio.read(fn)
+        if not header.text:
+            raise SystemExit("ERROR: sam/bam files must have headers")
+        headers.append(header)
+        sample_piles.append(pileup(reads, header, read_filters, pile_filters))
+
+    ref_chroms = headers[0].chroms
+    for h in headers[1:]:
+        if h.chroms != ref_chroms:
+            raise SystemExit("ERROR: reference chromosomes in input files "
+                             "must match and be in the same order")
+
+    n_exp = len(experimental_files)
+    ref = Seeker(ref_file)
+    for piles in sync_pileups(sample_piles):
+        v = get_variant(piles[:n_exp], piles[n_exp:], headers[0], ref,
+                        max_p, min_af, max_af, max_strand_bias,
+                        min_coverage, min_alt_reads)
+        if v is not None:
+            vcfio.write_vcf(out, v)
+    ref.close()
+    if out_file not in ("-", "stdout"):
+        out.close()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="callVariants")
+    p.add_argument("-i", action="append", default=[], dest="exp",
+                   help="Input experimental files (.bam, .sam)")
+    p.add_argument("-n", action="append", default=[], dest="norm",
+                   help="Input normal files (.bam, .sam)")
+    p.add_argument("-p", type=float, default=0.001)
+    p.add_argument("-minAF", type=float, default=0.01)
+    p.add_argument("-maxAF", type=float, default=1.0)
+    p.add_argument("-maxStrandBias", type=float, default=0.9)
+    p.add_argument("-minCoverage", type=int, default=10)
+    p.add_argument("-minMapQ", type=int, default=10)
+    p.add_argument("-minAltReads", type=int, default=1)
+    p.add_argument("-r", required=True, help="Indexed reference fasta")
+    p.add_argument("-o", default="stdout")
+    a = p.parse_args(argv)
+    if not a.exp:
+        raise SystemExit("ERROR: must declare at least 1 experimental "
+                         "sample with -i")
+    call_variants(a.exp, a.norm, a.r, "-" if a.o == "stdout" else a.o,
+                  a.p, a.minAF, a.maxAF, a.maxStrandBias, a.minCoverage,
+                  a.minMapQ, a.minAltReads)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Pileup: per-position base counts from coordinate-sorted reads.
+
+Counterpart of /root/reference/sam/pileup.go. The reference walks a
+circular linked list of Pile structs; here counts accumulate into a dense
+(positions x 13 bases x 2 strands) count matrix per chromosome via numpy
+scatter-add — the same shape the TPU pipeline reduces with a psum over the
+data axis (see gonomics_tpu.parallel). Insertions/deletions go to sparse
+side tables exactly as the reference's InsCount/DelCount maps.
+
+Semantics preserved for byte-exact downstream output:
+  - reads with unmapped cigars skipped, terminal insertions soft-clipped
+    (sclipTerminalIns, pileup.go:432)
+  - "forward" = unpaired or first-in-pair (NOT strand; pileup.go:229)
+  - deletions add Gap counts at every deleted position and a DelCount at
+    the 5'-most base; insertions record at refPos-1
+  - piles emitted in (refIdx, pos) order for touched positions only
+    (includeNoData=False) after pile filters
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import dna
+from .io import cigar as samcigar
+from .io.chrom_info import ChromInfo
+from .io.sam import Header, Sam, is_forward_read, is_paired
+
+
+@dataclass
+class Pile:
+    ref_idx: int = -1
+    pos: int = 0  # 1-based
+    count_f: np.ndarray = field(default_factory=lambda: np.zeros(13, np.int64))
+    count_r: np.ndarray = field(default_factory=lambda: np.zeros(13, np.int64))
+    ins_count_f: dict = field(default_factory=dict)
+    ins_count_r: dict = field(default_factory=dict)
+    del_count_f: dict = field(default_factory=dict)
+    del_count_r: dict = field(default_factory=dict)
+
+
+def calc_depth(p: Pile) -> int:
+    """callVariants calcDepth: all base counts (incl Gap) + insertions."""
+    return int(p.count_f.sum() + p.count_r.sum()
+               + sum(p.ins_count_f.values()) + sum(p.ins_count_r.values()))
+
+
+def _sclip_terminal_ins(cig: list[samcigar.CigarOp]) -> list[samcigar.CigarOp]:
+    cig = [samcigar.CigarOp(c.run_length, c.op) for c in cig]
+    if not cig or cig[0].op == "*":
+        return cig
+    if cig[0].op == "I":
+        cig[0].op = "S"
+    if cig[-1].op == "I":
+        cig[-1].op = "S"
+    if len(cig) >= 2 and cig[0].op == "S" and cig[1].op == "I":
+        cig[1].op = "S"
+        cig[1].run_length += cig[0].run_length
+        cig = cig[1:]
+    if len(cig) >= 2 and cig[-1].op == "S" and cig[-2].op == "I":
+        cig[-2].op = "S"
+        cig[-2].run_length += cig[-1].run_length
+        cig = cig[:-1]
+    return cig
+
+
+class _ChromCounts:
+    def __init__(self, size: int):
+        # 1-based positions; +2 head/tailroom for pos-1 inserts and
+        # deletions that run past the annotated size
+        self.counts = np.zeros((size + 2, 13, 2), np.int64)
+        self.ins: dict[int, list[dict]] = {}
+        self.dels: dict[int, list[dict]] = {}
+
+    def _ins_maps(self, pos: int) -> list[dict]:
+        if pos not in self.ins:
+            self.ins[pos] = [{}, {}]
+        return self.ins[pos]
+
+    def _del_maps(self, pos: int) -> list[dict]:
+        if pos not in self.dels:
+            self.dels[pos] = [{}, {}]
+        return self.dels[pos]
+
+
+def pileup(reads: list[Sam], header: Header,
+           read_filters=None, pile_filters=None,
+           include_no_data: bool = False) -> list[Pile]:
+    """sam.GoPileup equivalent, eager over a read list."""
+    if header.sort_order[0] != "coordinate":
+        raise ValueError("input sam/bam must be coordinate sorted")
+    refmap = {c.name: c for c in header.chroms}
+    chrom_data: dict[int, _ChromCounts] = {}
+
+    # gather dense scatter triples in bulk, indels into side tables
+    pos_l: list[np.ndarray] = []
+    base_l: list[np.ndarray] = []
+    strand_l: list[np.ndarray] = []
+    refidx_l: list[np.ndarray] = []
+
+    for s in reads:
+        if samcigar.is_unmapped(s.cigar):
+            continue
+        if read_filters and not all(f(s) for f in read_filters):
+            continue
+        cig = _sclip_terminal_ins(s.cigar)
+        info = refmap[s.rname]
+        refidx = info.order
+        if refidx not in chrom_data:
+            chrom_data[refidx] = _ChromCounts(info.size)
+        cd = chrom_data[refidx]
+        fwd = 0 if (not is_paired(s) or is_forward_read(s)) else 1
+
+        ref_pos = s.pos
+        seq_pos = 0
+        for c in cig:
+            if c.op in "M=X":
+                pos_l.append(np.arange(ref_pos, ref_pos + c.run_length))
+                base_l.append(np.asarray(
+                    s.seq[seq_pos:seq_pos + c.run_length], dtype=np.int64))
+                strand_l.append(np.full(c.run_length, fwd))
+                refidx_l.append(np.full(c.run_length, refidx))
+                ref_pos += c.run_length
+                seq_pos += c.run_length
+            elif c.op == "D":
+                d = cd._del_maps(ref_pos)[fwd]
+                d[c.run_length] = d.get(c.run_length, 0) + 1
+                pos_l.append(np.arange(ref_pos, ref_pos + c.run_length))
+                base_l.append(np.full(c.run_length, dna.GAP))
+                strand_l.append(np.full(c.run_length, fwd))
+                refidx_l.append(np.full(c.run_length, refidx))
+                ref_pos += c.run_length
+            elif c.op == "I":
+                key = dna.to_string(s.seq[seq_pos:seq_pos + c.run_length])
+                m = cd._ins_maps(ref_pos - 1)[fwd]
+                m[key] = m.get(key, 0) + 1
+                seq_pos += c.run_length
+            else:
+                if samcigar.consumes_reference(c.op):
+                    ref_pos += c.run_length
+                if samcigar.consumes_query(c.op):
+                    seq_pos += c.run_length
+
+    if pos_l:
+        pos = np.concatenate(pos_l)
+        base = np.concatenate(base_l)
+        strand = np.concatenate(strand_l)
+        ridx = np.concatenate(refidx_l)
+        for refidx, cd in chrom_data.items():
+            m = ridx == refidx
+            np.add.at(cd.counts, (pos[m], base[m], strand[m]), 1)
+
+    # emit piles in coordinate order
+    out: list[Pile] = []
+    for refidx in sorted(chrom_data):
+        cd = chrom_data[refidx]
+        touched = set(np.nonzero(cd.counts.sum(axis=(1, 2)))[0].tolist())
+        touched.update(cd.ins.keys())
+        for p in sorted(touched):
+            pile = Pile(ref_idx=refidx, pos=int(p),
+                        count_f=cd.counts[p, :, 0].copy(),
+                        count_r=cd.counts[p, :, 1].copy())
+            if p in cd.ins:
+                pile.ins_count_f, pile.ins_count_r = cd.ins[p]
+            if p in cd.dels:
+                pile.del_count_f, pile.del_count_r = cd.dels[p]
+            if pile_filters and not all(f(pile) for f in pile_filters):
+                continue
+            out.append(pile)
+    return out
+
+
+def sync_pileups(samples: list[list[Pile]]):
+    """sam.GoSyncPileups equivalent: yields per-position [Pile] slices with
+    ref_idx == -1 marking samples without data at the position."""
+    iters = [iter(s) for s in samples]
+    buf: list[Pile | None] = [next(it, None) for it in iters]
+    while any(b is not None for b in buf):
+        coords = [(b.ref_idx, b.pos) for b in buf if b is not None]
+        mn = min(coords)
+        row = []
+        for i, b in enumerate(buf):
+            if b is not None and (b.ref_idx, b.pos) == mn:
+                row.append(b)
+                buf[i] = next(iters[i], None)
+            else:
+                row.append(Pile(ref_idx=-1))
+        yield row
+
+
+def sum_piles(piles: list[Pile]) -> Pile:
+    """callVariants sumPiles (testVariant.go:166)."""
+    ans = Pile(ref_idx=-1)
+    for p in piles:
+        if ans.ref_idx == -1 and p.ref_idx != -1:
+            ans.ref_idx = p.ref_idx
+            ans.pos = p.pos
+        ans.count_f = ans.count_f + p.count_f
+        ans.count_r = ans.count_r + p.count_r
+        for k, v in p.ins_count_f.items():
+            ans.ins_count_f[k] = ans.ins_count_f.get(k, 0) + v
+        for k, v in p.ins_count_r.items():
+            ans.ins_count_r[k] = ans.ins_count_r.get(k, 0) + v
+        for k, v in p.del_count_f.items():
+            ans.del_count_f[k] = ans.del_count_f.get(k, 0) + v
+        for k, v in p.del_count_r.items():
+            ans.del_count_r[k] = ans.del_count_r.get(k, 0) + v
+    return ans
