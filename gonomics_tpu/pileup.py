@@ -67,10 +67,13 @@ def _sclip_terminal_ins(cig: list[samcigar.CigarOp]) -> list[samcigar.CigarOp]:
 
 
 class _ChromCounts:
+    """Dense counts over the covered span only (not the whole chromosome):
+    scatter targets are offset by the first read position."""
+
     def __init__(self, size: int):
-        # 1-based positions; +2 head/tailroom for pos-1 inserts and
-        # deletions that run past the annotated size
-        self.counts = np.zeros((size + 2, 13, 2), np.int64)
+        self.size = size
+        self.counts: np.ndarray | None = None
+        self.lo = 0
         self.ins: dict[int, list[dict]] = {}
         self.dels: dict[int, list[dict]] = {}
 
@@ -150,18 +153,28 @@ def pileup(reads: list[Sam], header: Header,
         ridx = np.concatenate(refidx_l)
         for refidx, cd in chrom_data.items():
             m = ridx == refidx
-            np.add.at(cd.counts, (pos[m], base[m], strand[m]), 1)
+            pm = pos[m]
+            ins_pos = list(cd.ins.keys())
+            lo = int(min(pm.min(), min(ins_pos, default=pm.min())))
+            hi = int(max(pm.max(), max(ins_pos, default=pm.max())))
+            cd.lo = lo
+            cd.counts = np.zeros((hi - lo + 1, 13, 2), np.int32)
+            np.add.at(cd.counts, (pm - lo, base[m], strand[m]), 1)
 
     # emit piles in coordinate order
     out: list[Pile] = []
     for refidx in sorted(chrom_data):
         cd = chrom_data[refidx]
-        touched = set(np.nonzero(cd.counts.sum(axis=(1, 2)))[0].tolist())
+        if cd.counts is None:
+            cd.counts = np.zeros((1, 13, 2), np.int32)
+            cd.lo = min(cd.ins.keys(), default=1)
+        touched = set((np.nonzero(cd.counts.any(axis=(1, 2)))[0]
+                       + cd.lo).tolist())
         touched.update(cd.ins.keys())
         for p in sorted(touched):
             pile = Pile(ref_idx=refidx, pos=int(p),
-                        count_f=cd.counts[p, :, 0].copy(),
-                        count_r=cd.counts[p, :, 1].copy())
+                        count_f=cd.counts[p - cd.lo, :, 0].astype(np.int64),
+                        count_r=cd.counts[p - cd.lo, :, 1].astype(np.int64))
             if p in cd.ins:
                 pile.ins_count_f, pile.ins_count_r = cd.ins[p]
             if p in cd.dels:
