@@ -1,0 +1,93 @@
+"""FASTQ records and paired-end reading.
+
+Counterpart of /root/reference/fastq (fastq.go, pairedEnd.go, fastqBig.go,
+phredQual.go). FastqBig's rainbow (32 phase-shifted 2-bit packings) is not
+needed here: int8 arrays compare 1024 bases/cycle on the TPU VPU and numpy
+vectorizes the host path, so the "big" form is just seq + its reverse
+complement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import dna, fileio
+
+ASCII_OFFSET = 33
+
+
+@dataclass
+class Fastq:
+    name: str = ""
+    seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
+    qual: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+
+
+@dataclass
+class FastqBig:
+    """fastq.FastqBig (fastqBig.go:15): read + reverse complement."""
+
+    name: str = ""
+    seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
+    seq_rc: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
+    qual: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+
+
+def qual_string(qual: np.ndarray) -> str:
+    return (np.asarray(qual, np.uint8) + ASCII_OFFSET).tobytes().decode("latin-1")
+
+
+def to_qual(s: str | bytes) -> np.ndarray:
+    raw = np.frombuffer(s.encode() if isinstance(s, str) else s, np.uint8)
+    return raw - ASCII_OFFSET
+
+
+def _next_fastq(f) -> Fastq | None:
+    name = f.readline()
+    if not name:
+        return None
+    seq = f.readline().rstrip("\n")
+    plus = f.readline().rstrip("\n")
+    if not plus.startswith("+"):
+        raise ValueError("malformed fastq: expected '+' line")
+    qual = f.readline().rstrip("\n")
+    return Fastq(name=name.rstrip("\n")[1:].split(" ")[0],
+                 seq=dna.from_string(seq), qual=to_qual(qual))
+
+
+def read(filename: str) -> list[Fastq]:
+    out = []
+    with fileio.easy_open(filename) as f:
+        while (fq := _next_fastq(f)) is not None:
+            out.append(fq)
+    return out
+
+
+def to_big(fq: Fastq) -> FastqBig:
+    return FastqBig(name=fq.name, seq=fq.seq,
+                    seq_rc=dna.reverse_complement(fq.seq).astype(np.int8),
+                    qual=fq.qual)
+
+
+def read_pairs_big(file_one: str, file_two: str) -> list[tuple[FastqBig, FastqBig]]:
+    """fastq.ReadFqBigPair stream, eager."""
+    r1 = read(file_one)
+    r2 = read(file_two)
+    if len(r1) != len(r2):
+        raise ValueError("fastq files do not end at the same time")
+    return [(to_big(a), to_big(b)) for a, b in zip(r1, r2)]
+
+
+def write(filename: str, records: list[Fastq]) -> None:
+    with fileio.easy_create(filename) as f:
+        for fq in records:
+            f.write(f"@{fq.name}\n{dna.to_string(fq.seq)}\n+\n"
+                    f"{qual_string(fq.qual)}\n")
+
+
+def write_pairs(file_one: str, file_two: str,
+                records: list[tuple[Fastq, Fastq]]) -> None:
+    write(file_one, [a for a, _ in records])
+    write(file_two, [b for _, b in records])
