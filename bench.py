@@ -73,9 +73,50 @@ def measure_tpu(B: int = 256, L: int = 1024) -> float:
     return B * L * L / dt
 
 
+def measure_reads_per_s(B: int = 2048, L: int = 150,
+                        genome_len: int = 1_000_000) -> float:
+    """End-to-end batched read alignment (seed + vote + device DP +
+    on-device traceback + SAM assembly), reads/s steady-state."""
+    import numpy as np
+
+    from gonomics_tpu import dna
+    from gonomics_tpu.io.fasta import Fasta
+    from gonomics_tpu.io.fastq import Fastq
+    from gonomics_tpu.tpu_align import TpuReadAligner
+
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, genome_len).astype(np.int8)
+    al = TpuReadAligner([Fasta("chr1", genome)])
+
+    def make_reads(seed):
+        r = np.random.default_rng(seed)
+        reads = []
+        for i in range(B):
+            start = int(r.integers(0, genome_len - L))
+            seq = genome[start:start + L].copy()
+            for _ in range(3):
+                p = int(r.integers(0, L))
+                seq[p] = (seq[p] + 1) % 4
+            if i % 2:
+                seq = dna.reverse_complement(seq).astype(np.int8)
+            reads.append(Fastq(f"r{i}", seq, np.full(L, 30, np.uint8)))
+        return reads
+
+    al.align_batch(make_reads(0))  # warm-up/compile
+    best = 0.0
+    for trial in range(3):
+        reads = make_reads(trial + 1)
+        t0 = time.perf_counter()
+        al.align_batch(reads)
+        dt = time.perf_counter() - t0
+        best = max(best, B / dt)
+    return best
+
+
 def main() -> None:
     base = measure_baseline()
     tpu = measure_tpu()
+    rps = measure_reads_per_s()
     out = {
         "metric": "affine_gap_gcups",
         "value": round(tpu / 1e9, 2),
@@ -84,6 +125,8 @@ def main() -> None:
         "baseline_gcups": round(base / 1e9, 3),
         "baseline": "single-thread C++ Gotoh (Go-reference class), this host",
         "config": "B=256 pairs, 1024x1024, humanChimpTwo, score-only",
+        "reads_per_s_1chip": round(rps),
+        "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM",
     }
     print(json.dumps(out))
 

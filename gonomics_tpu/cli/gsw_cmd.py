@@ -38,7 +38,37 @@ def _select_matrix(name: str):
     raise SystemExit(f"unknown score matrix: {name}")
 
 
+def _align_tpu(args) -> None:
+    """Batched TPU engine (tpu_align.py): .fa references, SAM output."""
+    from ..io.sam import Header
+    from ..tpu_align import TpuReadAligner
+
+    records = fasta.read(args.files[0])
+    al = TpuReadAligner(records)
+    out = fileio.easy_create(args.out)
+    for line in al.header().text:
+        out.write(line + "\n")
+    if len(args.files) == 3:
+        r1 = fastqio.read(args.files[1])
+        r2 = fastqio.read(args.files[2])
+        for i in range(0, len(r1), args.batch):
+            sams = al.align_pairs(list(zip(r1[i:i + args.batch],
+                                           r2[i:i + args.batch])))
+            for s in sams:
+                out.write(s.to_string() + "\n")
+    else:
+        reads = fastqio.read(args.files[1])
+        for i in range(0, len(reads), args.batch):
+            for s in al.align_batch(reads[i:i + args.batch]):
+                out.write(s.to_string() + "\n")
+    if args.out not in ("-", "/dev/stdout", "stdout"):
+        out.close()
+
+
 def align_cmd(args) -> None:
+    if args.engine == "tpu":
+        _align_tpu(args)
+        return
     ref_path = args.files[0]
     g, names = _load_reference(ref_path)
     aligner = GswAligner(g, seed_len=args.index, step_size=args.window,
@@ -94,6 +124,11 @@ def main(argv=None) -> None:
     al.add_argument("-m", "--matrix", default="humanChimp")
     al.add_argument("-l", "--liftover", default="")
     al.add_argument("-o", "--out", default="/dev/stdout")
+    al.add_argument("--engine", default="host", choices=["host", "tpu"],
+                    help="host: reference-faithful engine (giraf); "
+                         "tpu: batched device aligner (SAM, .fa refs)")
+    al.add_argument("--batch", type=int, default=2048,
+                    help="TPU engine batch size")
     a = p.parse_args(argv)
     if a.cmd == "align":
         align_cmd(a)

@@ -37,6 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2 ** 30)  # veryNegNum analog; int32-safe against further adds
 
+# TPU kernel compiles are expensive through the remote-compile tunnel on
+# this machine (30s+); persist them across processes.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_gonomics")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax or read-only fs: cache is best-effort
+    pass
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -158,6 +167,59 @@ def _affine_kernel(fin_ref, br_ref, q0, q1, q2, q3, q4, *rest,
         res_ref[...] = jnp.where(fin, _max3(m_new, i_new, d_new), res_ref[...])
 
 
+def _local_kernel(nvec_ref, mvec_ref, br_ref, q0, q1, q2, q3, q4, *rest,
+                  n_pad: int, m_pad: int, gap: int, s_size: int,
+                  with_trace: bool):
+    """Smith-Waterman local alignment (clamped const-gap), the TPU engine
+    of the batched read aligner. Tracks the best cell per (pair, s) with
+    its diagonal so the host can recover the global max + traceback.
+    Trace codes: 0=M, 1=left(ref gap->D), 2=up(read gap->I), 3=local stop."""
+    if with_trace:
+        bv_ref, bd_ref, trace_ref, cbuf = rest
+    else:
+        bv_ref, bd_ref, cbuf = rest
+
+    d = pl.program_id(0) + 1
+    B, S = q0.shape
+    gap_ = jnp.int32(gap)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), dimension=1)
+
+    @pl.when(d == 1)
+    def _init():
+        cbuf[0] = jnp.zeros((B, S), jnp.int32)
+        cbuf[1] = jnp.zeros((B, S), jnp.int32)
+        bv_ref[...] = jnp.zeros((B, S), jnp.int32)
+        bd_ref[...] = jnp.zeros((B, S), jnp.int32)
+
+    cur = jax.lax.rem(d, 2)
+    prv = 1 - cur
+    c1 = cbuf[prv]
+    c2 = cbuf[cur]
+
+    be = _beta_codes(br_ref, d, m_pad, s_size, S)
+    sc = _select_score(be, q0, q1, q2, q3, q4)
+
+    diag = _shift(c2) + sc
+    left = c1 + gap_
+    up = _shift(c1) + gap_
+    c_new = _max3(diag, left, up)
+
+    nb = nvec_ref[...]  # (B, 1) real read lengths
+    mb = mvec_ref[...]  # (B, 1) real window lengths
+    inside = (s_idx >= 1) & (s_idx <= nb) & \
+             (d - s_idx >= 1) & (d - s_idx <= mb)
+    c_new = jnp.where(inside & (c_new > 0), c_new, 0)
+    cbuf[cur] = c_new
+
+    if with_trace:
+        t = jnp.where(c_new == 0, 3, _argmax3(diag, left, up))
+        trace_ref[0] = t.astype(jnp.int8)
+
+    upd = inside & (c_new > bv_ref[...])
+    bd_ref[...] = jnp.where(upd, d, bd_ref[...])
+    bv_ref[...] = jnp.where(upd, c_new, bv_ref[...])
+
+
 def _const_kernel(fin_ref, br_ref, q0, q1, q2, q3, q4, *rest,
                   n_pad: int, m_pad: int, gap: int, s_size: int,
                   with_trace: bool):
@@ -221,6 +283,91 @@ def _build_inputs(alpha_pad, beta_pad, scores, s_size: int, m_pad: int):
     full = jnp.full((B, width), 4, jnp.int8)
     full = jax.lax.dynamic_update_slice(full, br, (0, s_size))
     return profiles, full
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "m", "gap", "with_trace", "interpret"))
+def wavefront_local(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
+                    m: int, gap: int, with_trace: bool = True,
+                    interpret: bool = False):
+    """Batched Smith-Waterman over (read, window) pairs.
+
+    alpha_pad: (B, n) int8 read codes, beta_pad: (B, m) int8 window codes,
+    n_vec/m_vec: (B, 1) int32 real lengths. Returns (best_val, best_d)
+    each (B, S) [+ trace (n+m, B, S) int8 when with_trace].
+    """
+    B = alpha_pad.shape[0]
+    S = _round_up(n + 1, 128)
+    profiles, br = _build_inputs(alpha_pad, beta_pad, scores, S, m)
+    d_total = n + m
+
+    def vspec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    res_shape = jax.ShapeDtypeStruct((B, S), jnp.int32)
+    trace_shape = jax.ShapeDtypeStruct((d_total, B, S), jnp.int8)
+    trace_spec = pl.BlockSpec((1, B, S), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    kern = functools.partial(_local_kernel, n_pad=n, m_pad=m, gap=gap,
+                             s_size=S, with_trace=with_trace)
+    if with_trace:
+        out_shape = (res_shape, res_shape, trace_shape)
+        out_specs = (vspec(), vspec(), trace_spec)
+    else:
+        out_shape = (res_shape, res_shape)
+        out_specs = (vspec(), vspec())
+    return pl.pallas_call(
+        kern,
+        grid=(d_total,),
+        in_specs=[vspec()] * 8,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((2, B, S), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(n_vec, m_vec, br, *profiles)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret"))
+def local_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
+                     m: int, gap: int, interpret: bool = False):
+    """Batched local alignment with ON-DEVICE traceback.
+
+    Runs the wavefront kernel, finds each pair's best cell, then walks the
+    packed trace with a lax.scan (all pairs in parallel), so only
+    O(B * (n+m)) bytes ever leave the device — the full trace tensor
+    (n+m, B, S) stays in HBM. Returns (score, i_end, j_end, i0, j0, ops)
+    where ops[b] is the backward-walk op string (0=M, 1=ref-gap, 2=read-
+    gap, 4=inactive).
+    """
+    bv, bd, trace = wavefront_local(alpha_pad, beta_pad, n_vec, m_vec,
+                                    scores, n=n, m=m, gap=gap,
+                                    with_trace=True, interpret=interpret)
+    B, S = bv.shape
+    D = n + m
+    score = jnp.max(bv, axis=1)
+    s_star = jnp.argmax(bv, axis=1)
+    d_star = jnp.take_along_axis(bd, s_star[:, None], 1)[:, 0]
+    i_end = s_star
+    j_end = d_star - s_star
+    bidx = jnp.arange(B)
+
+    def step(carry, _):
+        i, j, active = carry
+        cont = active & (i > 0) & (j > 0)
+        d = jnp.clip(i + j - 1, 0, D - 1)
+        t_raw = trace[d, bidx, jnp.clip(i, 0, S - 1)].astype(jnp.int32)
+        t_eff = jnp.where(cont & (t_raw != 3), t_raw, 4)
+        ni = i - jnp.where((t_eff == 0) | (t_eff == 2), 1, 0)
+        nj = j - jnp.where((t_eff == 0) | (t_eff == 1), 1, 0)
+        nactive = cont & (t_raw != 3)
+        return (ni, nj, nactive), t_eff.astype(jnp.int8)
+
+    init = (i_end, j_end, score > 0)
+    (i0, j0, _), ops = jax.lax.scan(step, init, None, length=D)
+    return score, i_end, j_end, i0, j0, ops.T  # ops -> (B, D)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -1,0 +1,316 @@
+"""Batched TPU read aligner: seed -> vote -> banded local DP on device.
+
+This is the TPU-first redesign of the gsw pipeline (SURVEY.md P2/P3) for
+linear references, built for throughput rather than reference parity:
+
+  host (numpy, vectorized over the whole batch):
+    - genome 2-bit k-mer index as a sorted (code, pos) table; lookups are
+      np.searchsorted over every read k-mer at once (maps
+      genomeGraph/index.go:21-57 onto a sort/searchsorted design that
+      also shards cleanly by k-mer prefix across hosts)
+    - candidate generation by diagonal voting over seed hits (replaces
+      the per-seed heap + branch-and-bound of search.go:339-373; the
+      modal diagonal is the banded-DP anchor)
+  device (Pallas, ops/wavefront.py wavefront_local):
+    - one Smith-Waterman wavefront over all (read, window) pairs,
+      traceback streamed as 2-bit codes
+  host:
+    - cigar assembly, soft clips, SAM records; MapQ from vote margin
+
+Multi-chip scaling: the batch axis is data-parallel (shard_map over the
+"data" mesh axis — see gonomics_tpu.parallel); the index is replicated
+for small genomes or prefix-sharded with an all-gather of candidates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import dna
+from .gsw import HUMAN_CHIMP_TWO
+from .io import sam as samio
+from .io.cigar import CigarOp
+from .io.chrom_info import ChromInfo
+from .io.fastq import Fastq, qual_string
+
+
+def _rolling_codes(seq: np.ndarray, k: int) -> np.ndarray:
+    """2-bit rolling codes of every k-window (uint64); windows containing
+    non-ACGT bases get the sentinel code 2^63 (never indexed)."""
+    s = np.asarray(seq, np.int64)
+    n = len(s) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    vals = np.where(s < 4, s, 0).astype(np.uint64)
+    codes = np.zeros(len(s), np.uint64)
+    acc = np.zeros((), np.uint64)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    # vectorized horner via cumulative shifts: fall back to a tight loop in
+    # blocks (k is small; this runs once per genome / read batch column)
+    for i in range(len(s)):
+        acc = ((acc << np.uint64(2)) | vals[i]) & mask
+        codes[i] = acc
+    out = codes[k - 1:]
+    bad = np.lib.stride_tricks.sliding_window_view(s >= 4, k).any(axis=1)
+    out = out.copy()
+    out[bad] = np.uint64(1) << np.uint64(63)
+    return out
+
+
+def _batch_codes(seqs: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
+    """(B, K) codes of the k-mers starting at the given offsets."""
+    B = seqs.shape[0]
+    vals = np.where(seqs < 4, seqs, 0).astype(np.uint64)
+    bad = seqs >= 4
+    idx = offsets[None, :, None] + np.arange(k)[None, None, :]  # (1, K, k)
+    win = np.take_along_axis(vals[:, None, :].repeat(len(offsets), 1),
+                             idx.repeat(B, 0), axis=2)
+    codes = np.zeros((B, len(offsets)), np.uint64)
+    for j in range(k):
+        codes = (codes << np.uint64(2)) | win[:, :, j]
+    badwin = np.take_along_axis(bad[:, None, :].repeat(len(offsets), 1),
+                                idx.repeat(B, 0), axis=2).any(axis=2)
+    codes[badwin] = np.uint64(1) << np.uint64(62)  # never matches genome
+    return codes
+
+
+@dataclass
+class _Candidate:
+    diag: np.ndarray       # (B,) best diagonal (genome pos of read start)
+    votes: np.ndarray      # (B,) votes for the best diagonal
+    second: np.ndarray     # (B,) votes for the runner-up diagonal
+    strand: np.ndarray     # (B,) True = forward
+
+
+class TpuReadAligner:
+    def __init__(self, records, *, seed_len: int = 21, read_kmers: int = 8,
+                 max_hits_per_kmer: int = 8, pad: int = 24,
+                 scores: np.ndarray = HUMAN_CHIMP_TWO, gap: int = -600,
+                 min_score: int = 1200, backend: str = "auto"):
+        """records: list of io.fasta.Fasta (the linear reference)."""
+        self.k = seed_len
+        self.read_kmers = read_kmers
+        self.max_hits = max_hits_per_kmer
+        self.pad = pad
+        self.scores = np.asarray(scores, np.int64)
+        self.gap = gap
+        self.min_score = min_score
+        if backend == "auto":
+            import jax
+
+            backend = "tpu" if jax.default_backend() == "tpu" else "interpret"
+        self.interpret = backend != "tpu"
+
+        # concatenate chromosomes with N spacers so windows never span two
+        sep = 512
+        chunks = []
+        self.chrom_starts = []
+        self.chroms: list[ChromInfo] = []
+        off = 0
+        for i, rec in enumerate(records):
+            seq = dna.to_upper(rec.seq).astype(np.int8)
+            self.chrom_starts.append(off)
+            self.chroms.append(ChromInfo(rec.name, len(seq), i))
+            chunks.append(seq)
+            chunks.append(np.full(sep, dna.N, np.int8))
+            off += len(seq) + sep
+        self.genome = np.concatenate(chunks)
+        self._starts_arr = np.array(self.chrom_starts + [off], np.int64)
+
+        codes = _rolling_codes(self.genome, self.k)
+        keep = codes != (np.uint64(1) << np.uint64(63))
+        pos = np.nonzero(keep)[0].astype(np.int64)
+        codes = codes[keep]
+        order = np.argsort(codes, kind="stable")
+        self.idx_codes = codes[order]
+        self.idx_pos = pos[order]
+
+    def header(self) -> samio.Header:
+        h = samio.Header()
+        h.text = ["@HD\tVN:1.6\tSO:unsorted"] + [
+            f"@SQ\tSN:{c.name}\tLN:{c.size}" for c in self.chroms]
+        h.chroms = list(self.chroms)
+        h.sort_order = ["unsorted"]
+        return h
+
+    # ---- seeding ----
+
+    def _candidates_one_strand(self, seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        B, L = seqs.shape
+        K = self.read_kmers
+        offs = np.linspace(0, L - self.k, K).astype(np.int64)
+        codes = _batch_codes(seqs, offs, self.k)  # (B, K)
+        lo = np.searchsorted(self.idx_codes, codes.ravel(), side="left")
+        hi = np.searchsorted(self.idx_codes, codes.ravel(), side="right")
+        lo = lo.reshape(B, K)
+        hi = np.minimum(hi.reshape(B, K), lo + self.max_hits)
+        H = self.max_hits
+        take = lo[:, :, None] + np.arange(H)[None, None, :]  # (B, K, H)
+        valid = take < hi[:, :, None]
+        take = np.clip(take, 0, len(self.idx_pos) - 1)
+        hitpos = self.idx_pos[take]                           # (B, K, H)
+        diags = hitpos - offs[None, :, None]
+        diags = np.where(valid, diags, np.int64(-1))
+        # modal diagonal per read: sort the small (K*H) candidate list
+        flat = np.sort(diags.reshape(B, K * H), axis=1)
+        same = flat[:, 1:] == flat[:, :-1]
+        run = np.zeros_like(flat)
+        for j in range(1, flat.shape[1]):
+            run[:, j] = np.where(same[:, j - 1], run[:, j - 1] + 1, 0)
+        run[flat == -1] = -1
+        bestj = np.argmax(run, axis=1)
+        votes = run[np.arange(B), bestj] + 1
+        diag = flat[np.arange(B), bestj]
+        votes = np.where(diag == -1, 0, votes)
+        # runner-up votes on a different diagonal (for MapQ)
+        second = np.zeros(B, np.int64)
+        masked = np.where(flat == diag[:, None], -1, flat)
+        same2 = (masked[:, 1:] == masked[:, :-1]) & (masked[:, 1:] != -1)
+        run2 = np.zeros_like(flat)
+        for j in range(1, flat.shape[1]):
+            run2[:, j] = np.where(same2[:, j - 1], run2[:, j - 1] + 1, 0)
+        second = run2.max(axis=1) + 1
+        second = np.where((masked != -1).any(axis=1), second, 0)
+        return diag, votes, second
+
+    def _candidates(self, fwd: np.ndarray, rev: np.ndarray) -> _Candidate:
+        df, vf, sf = self._candidates_one_strand(fwd)
+        dr, vr, sr = self._candidates_one_strand(rev)
+        use_fwd = vf >= vr
+        return _Candidate(
+            diag=np.where(use_fwd, df, dr),
+            votes=np.where(use_fwd, vf, vr),
+            second=np.where(use_fwd, np.maximum(sf, vr), np.maximum(sr, vf)),
+            strand=use_fwd)
+
+    # ---- alignment ----
+
+    def align_batch(self, reads: list[Fastq]) -> list[samio.Sam]:
+        import jax.numpy as jnp
+
+        from .ops.wavefront import local_align_full
+
+        B = len(reads)
+        L = max(len(r.seq) for r in reads)
+        fwd = np.full((B, L), dna.N, np.int8)
+        lens = np.zeros(B, np.int64)
+        for i, r in enumerate(reads):
+            fwd[i, :len(r.seq)] = r.seq
+            lens[i] = len(r.seq)
+        rev = np.full((B, L), dna.N, np.int8)
+        for i, r in enumerate(reads):
+            rc = dna.reverse_complement(r.seq).astype(np.int8)
+            rev[i, :len(rc)] = rc
+
+        cand = self._candidates(fwd, rev)
+        W = L + 2 * self.pad
+        starts = np.clip(cand.diag - self.pad, 0, len(self.genome) - W)
+        windows = self.genome[starts[:, None] + np.arange(W)]
+        read_seqs = np.where(cand.strand[:, None], fwd, rev)
+
+        Bp = max(8, -(-B // 8) * 8)
+        if Bp != B:
+            pad_rows = np.full((Bp - B, L), dna.N, np.int8)
+            read_seqs = np.vstack([read_seqs, pad_rows])
+            windows = np.vstack([windows,
+                                 np.full((Bp - B, W), dna.N, np.int8)])
+        n_vec = np.zeros((Bp, 1), np.int32)
+        n_vec[:B, 0] = lens
+        m_vec = np.full((Bp, 1), W, np.int32)
+
+        import jax
+
+        res = local_align_full(
+            jnp.asarray(read_seqs), jnp.asarray(windows),
+            jnp.asarray(n_vec), jnp.asarray(m_vec), self.scores,
+            n=L, m=W, gap=self.gap, interpret=self.interpret)
+        score, i_end, _j_end, i0, j0, ops = jax.device_get(res)
+
+        out: list[samio.Sam] = []
+        for b, r in enumerate(reads):
+            out.append(self._emit(r, b, score, i_end, i0, j0, ops, cand,
+                                  starts, int(lens[b])))
+        return out
+
+    @staticmethod
+    def _route_from_ops(op_row: np.ndarray) -> list[CigarOp]:
+        """Backward-walk op codes -> forward run-length cigar (vectorized
+        run-length encoding)."""
+        stop = np.flatnonzero(op_row >= 3)
+        end = int(stop[0]) if len(stop) else len(op_row)
+        r = op_row[:end]
+        if end == 0:
+            return []
+        bounds = np.flatnonzero(np.diff(r)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [end]))
+        chars = "MDI"
+        route = [CigarOp(int(e - s), chars[r[s]])
+                 for s, e in zip(starts, ends)]
+        route.reverse()
+        return route
+
+    def _locate(self, gpos: int) -> tuple[str, int]:
+        ci = int(np.searchsorted(self._starts_arr, gpos, side="right")) - 1
+        return self.chroms[ci].name, gpos - self.chrom_starts[ci]
+
+    def _emit(self, r: Fastq, b: int, score, i_end, i0, j0, ops,
+              cand: _Candidate, starts, read_len: int) -> samio.Sam:
+        strand = bool(cand.strand[b])
+        qual = r.qual if strand else r.qual[::-1]
+        seq = r.seq if strand else dna.reverse_complement(r.seq).astype(np.int8)
+        s = samio.Sam(qname=r.name, flag=4, rname="*", pos=0, mapq=0,
+                      cigar=[CigarOp(0, "*")], rnext="*", pnext=0, tlen=0,
+                      seq=seq, qual=qual_string(qual))
+        if score[b] < self.min_score or cand.votes[b] == 0:
+            return s
+        route = self._route_from_ops(ops[b])
+        if not route:
+            return s
+        cig: list[CigarOp] = []
+        if i0[b] > 0:
+            cig.append(CigarOp(int(i0[b]), "S"))
+        cig.extend(route)
+        if i_end[b] < read_len:
+            cig.append(CigarOp(int(read_len - i_end[b]), "S"))
+        gpos = int(starts[b]) + int(j0[b])
+        chrom, cpos = self._locate(gpos)
+        s.rname = chrom
+        s.pos = cpos + 1
+        s.flag = 0 if strand else 16
+        s.cigar = cig
+        margin = int(cand.votes[b] - cand.second[b])
+        s.mapq = max(0, min(60, 10 * margin + 10))
+        s.extra = f"AS:i:{int(score[b])}"
+        return s
+
+    def align_pairs(self, pairs: list[tuple[Fastq, Fastq]]) -> list[samio.Sam]:
+        flat: list[Fastq] = []
+        for a, bb in pairs:
+            flat.append(a)
+            flat.append(bb)
+        sams = self.align_batch(flat)
+        for i in range(0, len(sams), 2):
+            a, b = sams[i], sams[i + 1]
+            for x, y, first in ((a, b, True), (b, a, False)):
+                x.flag |= 1 | (64 if first else 128)
+                if y.flag & 4:
+                    x.flag |= 8
+                else:
+                    x.rnext = "=" if y.rname == x.rname else y.rname
+                    x.pnext = y.pos
+            if not (a.flag & 4) and not (b.flag & 4) and a.rname == b.rname:
+                lo = min(a.pos, b.pos)
+                hi = max(a.pos + sum(c.run_length for c in a.cigar
+                                     if c.op in "MDN=X"),
+                         b.pos + sum(c.run_length for c in b.cigar
+                                     if c.op in "MDN=X"))
+                tlen = hi - lo
+                if tlen < 10000 and ((a.flag & 16) != (b.flag & 16)):
+                    a.flag |= 2
+                    b.flag |= 2
+                a.tlen = tlen if a.pos <= b.pos else -tlen
+                b.tlen = -a.tlen
+        return sams

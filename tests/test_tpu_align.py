@@ -1,0 +1,80 @@
+"""TPU batched read aligner tests (pallas interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from gonomics_tpu import dna
+from gonomics_tpu.io.fasta import Fasta
+from gonomics_tpu.io.fastq import Fastq
+from gonomics_tpu.tpu_align import TpuReadAligner
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, 20_000).astype(np.int8)
+    al = TpuReadAligner([Fasta("chr1", genome)], backend="interpret")
+    return genome, al, rng
+
+
+def _read(genome, start, length=80, rc=False, mut=()):
+    seq = genome[start:start + length].copy()
+    for p in mut:
+        seq[p] = (seq[p] + 1) % 4
+    if rc:
+        seq = dna.reverse_complement(seq).astype(np.int8)
+    return Fastq(f"r{start}", seq, np.full(length, 30, np.uint8))
+
+
+def test_batch_accuracy(setup):
+    genome, al, rng = setup
+    reads, truth, rcs = [], [], []
+    for i in range(10):
+        start = int(rng.integers(0, len(genome) - 80))
+        rc = bool(i % 2)
+        reads.append(_read(genome, start, rc=rc, mut=(10, 40)))
+        truth.append(start)
+        rcs.append(rc)
+    sams = al.align_batch(reads)
+    for s, t, rc in zip(sams, truth, rcs):
+        assert not (s.flag & 4)
+        assert s.rname == "chr1"
+        assert abs(s.pos - 1 - t) <= 3
+        assert bool(s.flag & 16) == rc
+        assert s.mapq > 0
+
+
+def test_indel_cigar(setup):
+    genome, al, rng = setup
+    start = 5000
+    seq = np.concatenate([genome[start:start + 40],
+                          genome[start + 43:start + 123]]).astype(np.int8)
+    sams = al.align_batch([Fastq("d", seq, np.full(120, 30, np.uint8))])
+    # const-gap scoring permits equivalent-score split deletions; check
+    # the total deleted bases and query consumption instead
+    assert sum(c.run_length for c in sams[0].cigar if c.op == "D") == 3
+    assert sum(c.run_length for c in sams[0].cigar
+               if c.op in "MIS") == 120
+    assert sams[0].pos == start + 1
+
+
+def test_unmapped(setup):
+    genome, al, rng = setup
+    junk = rng.integers(0, 4, 80).astype(np.int8)
+    sams = al.align_batch([Fastq("u", junk, np.full(80, 30, np.uint8))])
+    assert sams[0].flag & 4
+
+
+def test_pairs_tlen_flags(setup):
+    genome, al, rng = setup
+    start = 8000
+    fwd = _read(genome, start)
+    rev = Fastq("p", dna.reverse_complement(
+        genome[start + 200:start + 280]).astype(np.int8),
+        np.full(80, 30, np.uint8))
+    sams = al.align_pairs([(fwd, rev)])
+    a, b = sams
+    assert a.flag & 1 and a.flag & 64 and b.flag & 128
+    assert a.flag & 2 and b.flag & 2  # proper pair
+    assert a.rnext == "=" and a.pnext == b.pos
+    assert a.tlen == 280 and b.tlen == -280
