@@ -119,7 +119,7 @@ def process_vcf_line(line: str) -> Vcf:
     f = line.split("\t")
     v = Vcf(chrom=f[0], pos=int(f[1]), id=f[2], ref=f[3],
             alt=f[4].split(",") if f[4] else [],
-            qual=float(f[5]) if f[5] not in (".", "") else 0.0,
+            qual=float(f[5]) if f[5] != "." else 255.0,  # io.go:75
             filter=f[6], info=f[7])
     if len(f) > 8:
         v.format = f[8].split(":")
