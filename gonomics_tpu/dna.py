@@ -75,10 +75,13 @@ def from_string(s: str | bytes) -> np.ndarray:
 
 
 def from_string_forced(s: str | bytes) -> np.ndarray:
-    """StringToBasesForced: invalid characters are masked to N."""
+    """StringToBasesForced: invalid characters are masked to N (lowercase
+    invalid characters to LowerN, preserving case like the reference)."""
     raw = np.frombuffer(s.encode() if isinstance(s, str) else s, dtype=np.uint8)
     codes = _CHAR_TO_BASE[raw]
-    codes = np.where(codes == 255, np.uint8(N), codes)
+    lower = (raw >= ord("a")) & (raw <= ord("z"))
+    codes = np.where(codes == 255,
+                     np.where(lower, np.uint8(LOWER_N), np.uint8(N)), codes)
     return codes.astype(np.int8)
 
 
