@@ -58,8 +58,30 @@ def _next_fastq(f) -> Fastq | None:
 
 
 def read(filename: str) -> list[Fastq]:
+    """Reads FASTQ; uses the native C++ tokenizer (gonomics_tpu.native)
+    when available, with a pure-Python fallback."""
+    from .. import native
+
+    with fileio.easy_open_binary(filename) as fb:
+        data = fb.read()
+    if data and not data.startswith(b"@"):
+        raise ValueError("malformed fastq: expected '@' header")
+    n_records = data.count(b"\n") // 4 + 1
+    parsed = None
+    if data:
+        seq_lines = data.split(b"\n")[1::4]
+        max_len = max((len(ln) for ln in seq_lines), default=0)
+        if max_len > 0:
+            parsed = native.fastq_parse_batch(data, n_records, max_len)
+    if parsed is not None:
+        names, seqs, quals, lens = parsed
+        return [Fastq(names[i], seqs[i, :lens[i]].copy(),
+                      quals[i, :lens[i]].copy())
+                for i in range(len(names))]
     out = []
-    with fileio.easy_open(filename) as f:
+    import io as _io
+
+    with _io.TextIOWrapper(_io.BytesIO(data), encoding="utf-8") as f:
         while (fq := _next_fastq(f)) is not None:
             out.append(fq)
     return out

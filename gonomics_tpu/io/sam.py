@@ -153,7 +153,12 @@ def read_bam(filename: str):
     sam.DecodeBam (bamRead.go:157-270), including RNext '=' collapsing and
     qual 0xff -> '*'."""
     with open(filename, "rb") as f:
-        data = gzip.decompress(f.read())
+        raw = f.read()
+    from .. import native
+
+    data = native.bgzf_decompress(raw)  # parallel C++ path
+    if data is None:
+        data = gzip.decompress(raw)     # generic gzip fallback
     if data[:4] != BAM_MAGIC:
         raise ValueError("missing BAM magic bytes")
     mv = memoryview(data)
