@@ -90,8 +90,8 @@ def binom_coefficient_log(n: int, k: int) -> float:
 
 
 def binomial_expression_log(n: int, k: int, p: float) -> float:
-    s = logspace.pow_(math.log(p), float(k))
-    f = logspace.pow_(math.log(1.0 - p), float(n - k))
+    s = logspace.pow_(logspace.go_log(p), float(k))
+    f = logspace.pow_(logspace.go_log(1.0 - p), float(n - k))
     return logspace.multiply(s, f)
 
 

