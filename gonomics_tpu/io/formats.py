@@ -1,0 +1,429 @@
+"""Additional genomic record formats: axt, chain, psl, genePred, maf, gtf.
+
+Behavioral counterparts of /root/reference/{axt,chain,psl,genePred,maf,gtf}
+— record structs, text parsing, and writers with exact reference
+formatting. Liftover coordinate math (chain.TPosToQPos) included.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import dna, fileio
+
+
+# ---------------------------------------------------------------------------
+# axt (axt/axt.go)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Axt:
+    r_name: str = ""
+    r_start: int = 0
+    r_end: int = 0
+    q_name: str = ""
+    q_start: int = 0
+    q_end: int = 0
+    q_strand_pos: bool = True
+    score: int = 0
+    r_seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
+    q_seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
+
+
+def read_axt(filename: str) -> list[Axt]:
+    lines = [ln for ln in fileio.read(filename)]
+    out: list[Axt] = []
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        w = lines[i].split(" ")
+        a = Axt(r_name=w[1], r_start=int(w[2]), r_end=int(w[3]),
+                q_name=w[4], q_start=int(w[5]), q_end=int(w[6]),
+                q_strand_pos=w[7] == "+", score=int(w[8]),
+                r_seq=dna.from_string(lines[i + 1]),
+                q_seq=dna.from_string(lines[i + 2]))
+        out.append(a)
+        i += 3
+    return out
+
+
+def axt_to_string(a: Axt, aln_id: int) -> str:
+    """axt.ToString (axt.go:137): trailing blank line included."""
+    strand = "+" if a.q_strand_pos else "-"
+    return (f"{aln_id} {a.r_name} {a.r_start} {a.r_end} {a.q_name} "
+            f"{a.q_start} {a.q_end} {strand} {a.score}\n"
+            f"{dna.to_string(a.r_seq)}\n{dna.to_string(a.q_seq)}\n\n")
+
+
+def write_axt(filename: str, records: list[Axt]) -> None:
+    with fileio.easy_create(filename) as f:
+        for i, a in enumerate(records):
+            f.write(axt_to_string(a, i))
+
+
+# ---------------------------------------------------------------------------
+# chain (chain/chain.go, lift.go)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BaseStats:
+    size: int
+    t_bases: int = 0
+    q_bases: int = 0
+
+
+@dataclass
+class Chain:
+    score: int = 0
+    t_name: str = ""
+    t_size: int = 0
+    t_strand: bool = True
+    t_start: int = 0
+    t_end: int = 0
+    q_name: str = ""
+    q_size: int = 0
+    q_strand: bool = True
+    q_start: int = 0
+    q_end: int = 0
+    alignment: list[BaseStats] = field(default_factory=list)
+    id: int = 0
+
+
+def read_chain(filename: str) -> tuple[list[Chain], list[str]]:
+    comments: list[str] = []
+    chains: list[Chain] = []
+    cur: Chain | None = None
+    with fileio.easy_open(filename) as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            if line.startswith("#"):
+                comments.append(line)
+                continue
+            if line.startswith("chain "):
+                w = line.split(" ")
+                cur = Chain(score=int(w[1]), t_name=w[2], t_size=int(w[3]),
+                            t_strand=w[4] == "+", t_start=int(w[5]),
+                            t_end=int(w[6]), q_name=w[7], q_size=int(w[8]),
+                            q_strand=w[9] == "+", q_start=int(w[10]),
+                            q_end=int(w[11]), id=int(w[12]))
+                chains.append(cur)
+            elif line.strip() and cur is not None:
+                w = line.split("\t") if "\t" in line else line.split()
+                if len(w) == 1:
+                    cur.alignment.append(BaseStats(int(w[0])))
+                else:
+                    cur.alignment.append(BaseStats(int(w[0]), int(w[1]),
+                                                   int(w[2])))
+    return chains, comments
+
+
+def chain_to_string(c: Chain) -> str:
+    ts = "+" if c.t_strand else "-"
+    qs = "+" if c.q_strand else "-"
+    s = (f"chain {c.score} {c.t_name} {c.t_size} {ts} {c.t_start} "
+         f"{c.t_end} {c.q_name} {c.q_size} {qs} {c.q_start} {c.q_end} "
+         f"{c.id}\n")
+    for a in c.alignment[:-1]:
+        s += f"{a.size}\t{a.t_bases}\t{a.q_bases}\n"
+    s += f"{c.alignment[-1].size}\n"
+    return s
+
+
+def write_chain(filename: str, chains: list[Chain],
+                comments: list[str] | None = None) -> None:
+    with fileio.easy_create(filename) as f:
+        for cm in comments or []:
+            f.write(cm + "\n")
+        for c in chains:
+            f.write(chain_to_string(c) + "\n")
+
+
+def t_pos_to_q_pos(c: Chain, t_pos: int) -> tuple[int, bool]:
+    """chain.TPosToQPos (lift.go:10): liftover of a target position;
+    second return False when t_pos falls in a gap."""
+    if not c.t_strand:
+        raise ValueError("all target strands should be positive")
+    curr_t = c.t_start
+    curr_q = c.q_start if c.q_strand else c.q_end - 1
+    if t_pos < c.t_start or t_pos > c.t_end:
+        raise ValueError("TPos not within the range of the chain")
+    for a in c.alignment:
+        if c.q_strand:
+            if curr_t + a.size > t_pos:
+                return curr_q + (t_pos - curr_t), True
+            curr_t += a.size
+            curr_q += a.size
+            if curr_t + a.t_bases > t_pos:
+                return curr_q, False
+            curr_t += a.t_bases
+            curr_q += a.q_bases
+        else:
+            if curr_t + a.size > t_pos:
+                return curr_q - (t_pos - curr_t), True
+            curr_t += a.size
+            curr_q -= a.size
+            if curr_t + a.t_bases > t_pos:
+                return curr_q, False
+            curr_t += a.t_bases
+            curr_q -= a.q_bases
+    return 0, False
+
+
+# ---------------------------------------------------------------------------
+# psl (psl/psl.go)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Psl:
+    match: int = 0
+    mismatch: int = 0
+    repeat_match: int = 0
+    ns: int = 0
+    q_num_ins: int = 0
+    q_base_ins: int = 0
+    t_num_ins: int = 0
+    t_base_ins: int = 0
+    strand: str = "+"
+    q_name: str = ""
+    q_size: int = 0
+    q_start: int = 0
+    q_end: int = 0
+    t_name: str = ""
+    t_size: int = 0
+    t_start: int = 0
+    t_end: int = 0
+    block_count: int = 0
+    block_size: list[int] = field(default_factory=list)
+    q_list: list[int] = field(default_factory=list)
+    t_list: list[int] = field(default_factory=list)
+
+
+def _int_list(s: str) -> list[int]:
+    return [int(x) for x in s.rstrip(",").split(",") if x]
+
+
+def read_psl(filename: str) -> list[Psl]:
+    out = []
+    for line in fileio.read(filename):
+        if not line or line[0].isalpha() or line.startswith("-"):
+            continue  # header lines
+        w = line.split("\t")
+        if len(w) < 21:
+            continue
+        out.append(Psl(
+            match=int(w[0]), mismatch=int(w[1]), repeat_match=int(w[2]),
+            ns=int(w[3]), q_num_ins=int(w[4]), q_base_ins=int(w[5]),
+            t_num_ins=int(w[6]), t_base_ins=int(w[7]), strand=w[8],
+            q_name=w[9], q_size=int(w[10]), q_start=int(w[11]),
+            q_end=int(w[12]), t_name=w[13], t_size=int(w[14]),
+            t_start=int(w[15]), t_end=int(w[16]), block_count=int(w[17]),
+            block_size=_int_list(w[18]), q_list=_int_list(w[19]),
+            t_list=_int_list(w[20])))
+    return out
+
+
+def psl_to_string(p: Psl) -> str:
+    def lst(v):
+        return ",".join(str(x) for x in v) + ","
+
+    return "\t".join(str(x) for x in (
+        p.match, p.mismatch, p.repeat_match, p.ns, p.q_num_ins,
+        p.q_base_ins, p.t_num_ins, p.t_base_ins, p.strand, p.q_name,
+        p.q_size, p.q_start, p.q_end, p.t_name, p.t_size, p.t_start,
+        p.t_end, p.block_count, lst(p.block_size), lst(p.q_list),
+        lst(p.t_list)))
+
+
+# ---------------------------------------------------------------------------
+# genePred (genePred/genePred.go)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GenePred:
+    id: str = ""
+    symbol: str = ""
+    chrom: str = ""
+    strand: str = "+"
+    tx_start: int = 0
+    tx_end: int = 0
+    cds_start: int = 0
+    cds_end: int = 0
+    exon_starts: list[int] = field(default_factory=list)
+    exon_ends: list[int] = field(default_factory=list)
+    exon_frames: list[int] = field(default_factory=list)
+    score: int = 0
+
+
+def read_gene_pred(filename: str) -> list[GenePred]:
+    out = []
+    for line in fileio.read(filename):
+        w = line.split("\t")
+        g = GenePred(id=w[0], chrom=w[1], strand=w[2], tx_start=int(w[3]),
+                     tx_end=int(w[4]), cds_start=int(w[5]),
+                     cds_end=int(w[6]),
+                     exon_starts=_int_list(w[8]), exon_ends=_int_list(w[9]))
+        if len(w) > 10:
+            g.exon_frames = _int_list(w[10])
+        out.append(g)
+    return out
+
+
+def gene_pred_to_string(g: GenePred) -> str:
+    def lst(v):
+        return ",".join(str(x) for x in v) + ","
+
+    return "\t".join(str(x) for x in (
+        g.id, g.chrom, g.strand, g.tx_start, g.tx_end, g.cds_start,
+        g.cds_end, len(g.exon_starts), lst(g.exon_starts),
+        lst(g.exon_ends), lst(g.exon_frames)))
+
+
+# ---------------------------------------------------------------------------
+# maf (maf/maf.go)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MafSLine:
+    src: str
+    start: int
+    size: int
+    strand: bool
+    src_size: int
+    seq: np.ndarray
+
+
+@dataclass
+class MafBlock:
+    score: float = 0.0
+    s_lines: list[MafSLine] = field(default_factory=list)
+
+
+def read_maf(filename: str) -> list[MafBlock]:
+    out: list[MafBlock] = []
+    cur: MafBlock | None = None
+    with fileio.easy_open(filename) as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            if line.startswith("#"):
+                continue
+            if line.startswith("a"):
+                cur = MafBlock()
+                for fld in line.split()[1:]:
+                    if fld.startswith("score="):
+                        cur.score = float(fld[6:])
+                out.append(cur)
+            elif line.startswith("s ") and cur is not None:
+                w = line.split()
+                cur.s_lines.append(MafSLine(
+                    src=w[1], start=int(w[2]), size=int(w[3]),
+                    strand=w[4] == "+", src_size=int(w[5]),
+                    seq=dna.from_string(w[6])))
+    return out
+
+
+def maf_to_fasta(blocks: list[MafBlock], species_order: list[str]):
+    """maf.ToFasta-style stitched alignment: concatenates the s-line
+    sequences per species across blocks (missing species get gaps)."""
+    from . import fasta as fastaio
+
+    parts = {s: [] for s in species_order}
+    for b in blocks:
+        width = len(b.s_lines[0].seq) if b.s_lines else 0
+        present = {s.src.split(".")[0]: s for s in b.s_lines}
+        for sp in species_order:
+            if sp in present:
+                parts[sp].append(present[sp].seq)
+            else:
+                parts[sp].append(dna.all_gaps(width))
+    return [fastaio.Fasta(sp, np.concatenate(parts[sp])
+                          if parts[sp] else np.zeros(0, np.int8))
+            for sp in species_order]
+
+
+# ---------------------------------------------------------------------------
+# gtf (gtf/gtf.go)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GtfFeature:
+    chrom: str
+    source: str
+    feature: str
+    start: int
+    end: int
+    score: float
+    strand: bool
+    frame: int
+    attributes: dict[str, str]
+
+
+@dataclass
+class Transcript:
+    chrom: str = ""
+    source: str = ""
+    start: int = 0
+    end: int = 0
+    strand: bool = True
+    transcript_id: str = ""
+    exons: list[GtfFeature] = field(default_factory=list)
+    cds: list[GtfFeature] = field(default_factory=list)
+
+
+@dataclass
+class Gene:
+    gene_id: str = ""
+    gene_name: str = ""
+    transcripts: list[Transcript] = field(default_factory=list)
+
+
+def _gtf_attributes(s: str) -> dict[str, str]:
+    out = {}
+    for part in s.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition(" ")
+        out[k] = v.strip().strip('"')
+    return out
+
+
+def read_gtf(filename: str) -> dict[str, Gene]:
+    genes: dict[str, Gene] = {}
+    tx_index: dict[str, Transcript] = {}
+    for line in fileio.read(filename):
+        w = line.split("\t")
+        if len(w) < 9:
+            continue
+        feat = GtfFeature(
+            chrom=w[0], source=w[1], feature=w[2], start=int(w[3]),
+            end=int(w[4]), score=0.0 if w[5] == "." else float(w[5]),
+            strand=w[6] == "+", frame=-1 if w[7] == "." else int(w[7]),
+            attributes=_gtf_attributes(w[8]))
+        gid = feat.attributes.get("gene_id", "")
+        tid = feat.attributes.get("transcript_id", "")
+        gene = genes.setdefault(gid, Gene(
+            gene_id=gid, gene_name=feat.attributes.get("gene_name", "")))
+        if feat.feature == "transcript":
+            tx = Transcript(chrom=feat.chrom, source=feat.source,
+                            start=feat.start, end=feat.end,
+                            strand=feat.strand, transcript_id=tid)
+            gene.transcripts.append(tx)
+            tx_index[tid] = tx
+        elif feat.feature in ("exon", "CDS", "5UTR", "3UTR",
+                              "start_codon", "stop_codon"):
+            tx = tx_index.get(tid)
+            if tx is None:
+                tx = Transcript(chrom=feat.chrom, source=feat.source,
+                                start=feat.start, end=feat.end,
+                                strand=feat.strand, transcript_id=tid)
+                gene.transcripts.append(tx)
+                tx_index[tid] = tx
+            if feat.feature == "exon":
+                tx.exons.append(feat)
+            elif feat.feature == "CDS":
+                tx.cds.append(feat)
+    return genes
