@@ -74,9 +74,15 @@ def affine_gap(alpha, beta, scores, gap_open: int, gap_extend: int):
     (affineGap.go:158-207)."""
     alpha = np.asarray(alpha)
     beta = np.asarray(beta)
-    n, m = len(alpha), len(beta)
-    go_, ge = int(gap_open), int(gap_extend)
     sub = _score_rows(alpha, beta, scores)
+    return affine_gap_from_sub(sub, gap_open, gap_extend)
+
+
+def affine_gap_from_sub(sub: np.ndarray, gap_open: int, gap_extend: int):
+    """Affine DP over a precomputed (n, m) per-cell substitution matrix —
+    the form used by multipleAffineGap (group-column scores)."""
+    n, m = sub.shape
+    go_, ge = int(gap_open), int(gap_extend)
 
     tM = np.zeros((n, m), dtype=np.uint8)
     tI = np.zeros((n, m), dtype=np.uint8)
@@ -118,6 +124,63 @@ def affine_gap(alpha, beta, scores, gap_open: int, gap_extend: int):
         cI = go_ + ge + Dc[:-1]
         tI[i - 1] = _priority_argmax3(aI, bI, cI)
         # Recompute Ic respecting exact tie order (scan gives max; equal).
+        Mp, Ip, Dp = Mc, Ic, Dc
+
+    finals = np.array([Mp[m], Ip[m], Dp[m]], dtype=np.int64)
+    k0 = int(_priority_argmax3(finals[0:1], finals[1:2], finals[2:3])[0])
+    score = int(finals[k0])
+    route = _walk(tM, tI, tD, n, m, k0, affine=True)
+    return score, route
+
+
+def affine_gap_local(target, beta, scores, gap_open: int, gap_extend: int):
+    """align.AffineGapLocal (affineGap_highMem.go:105): affine alignment
+    with free end gaps in the target (D state costs 0 at the boundaries
+    and in the last query column)."""
+    alpha = np.asarray(target)
+    beta = np.asarray(beta)
+    n, m = len(alpha), len(beta)
+    go_, ge = int(gap_open), int(gap_extend)
+    sub = _score_rows(alpha, beta, scores)
+
+    tM = np.zeros((n, m), dtype=np.uint8)
+    tI = np.zeros((n, m), dtype=np.uint8)
+    tD = np.zeros((n, m), dtype=np.uint8)
+
+    j_idx = np.arange(m + 1, dtype=np.int64)
+    Mp = np.full(m + 1, NEG, dtype=np.int64)
+    Mp[0] = 0
+    Ip = go_ + ge * j_idx
+    Ip[0] = go_
+    Dp = np.full(m + 1, NEG, dtype=np.int64)
+    Dp[0] = 0  # free left gap
+
+    for i in range(1, n + 1):
+        s = sub[i - 1]
+        Mc = np.empty(m + 1, dtype=np.int64)
+        Mc[0] = NEG
+        Mc[1:] = s + np.maximum(np.maximum(Mp[:-1], Ip[:-1]), Dp[:-1])
+        tM[i - 1] = _priority_argmax3(Mp[:-1], Ip[:-1], Dp[:-1])
+
+        Dc = np.empty(m + 1, dtype=np.int64)
+        Dc[0] = 0 + Dp[0]  # free left gap column
+        aD = go_ + ge + Mp[1:]
+        bD = go_ + ge + Ip[1:]
+        cD = ge + Dp[1:]
+        Dc[1:] = np.maximum(np.maximum(aD, bD), cD)
+        tD[i - 1] = _priority_argmax3(aD, bD, cD)
+        # free end gap: last column D transitions cost 0
+        Dc[m] = max(Mp[m], Ip[m], Dp[m])
+        tD[i - 1, m - 1] = _priority_argmax3(
+            np.array([Mp[m]]), np.array([Ip[m]]), np.array([Dp[m]]))[0]
+
+        c_in = go_ + ge + np.maximum(Mc[:-1], Dc[:-1])
+        seed = np.concatenate(([np.int64(NEG)], c_in))
+        Ic = _scan_max_plus(seed, ge)
+        aI = go_ + ge + Mc[:-1]
+        bI = ge + Ic[:-1]
+        cI = go_ + ge + Dc[:-1]
+        tI[i - 1] = _priority_argmax3(aI, bI, cI)
         Mp, Ip, Dp = Mc, Ic, Dc
 
     finals = np.array([Mp[m], Ip[m], Dp[m]], dtype=np.int64)

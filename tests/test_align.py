@@ -168,3 +168,33 @@ class TestGlobalAlignmentCLI:
         assert lines[0].startswith("Alignment score is ")
         assert lines[1] == "TTGTTATTC"
         assert lines[2] == "TTG---TTC"
+
+
+class TestMultiAlignAndLocal:
+    def test_multi_align_goldens(self):
+        from gonomics_tpu.align.multi import all_seq_affine
+        from gonomics_tpu.io import fasta as fastaio
+
+        TD = "/root/reference/align/testdata"
+        for inp, exp in [("multiAlignTest.in.fa", "multiAlignTest.expected.fa"),
+                         ("multiAlignTest.in2.fa",
+                          "multiAlignTest.expected2.fa")]:
+            aligned = all_seq_affine(fastaio.read(f"{TD}/{inp}"), DEFAULT,
+                                     -400, -30)
+            want = {r.name: r for r in fastaio.read(f"{TD}/{exp}")}
+            got = {r.name: r for r in aligned}
+            assert set(want) == set(got)
+            for n in want:
+                assert (want[n].seq == got[n].seq).all()
+
+    def test_affine_gap_local_free_ends(self):
+        from gonomics_tpu.align.oracle import affine_gap_local
+
+        target = dna.from_string("AAAACGTACGTACGTAAAA")
+        query = dna.from_string("CGTACGTACGT")
+        score, route = affine_gap_local(target, query, DEFAULT, -400, -30)
+        assert score == sum(int(DEFAULT[x, x]) for x in query)
+        ops = [(c.run_length, c.op) for c in route]
+        assert (11, COL_M) in ops
+        # free end gaps: leading/trailing target bases consumed as D
+        assert ops[0] == (4, COL_D) and ops[-1] == (4, COL_D)
