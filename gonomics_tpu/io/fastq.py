@@ -53,7 +53,7 @@ def _next_fastq(f) -> Fastq | None:
     if not plus.startswith("+"):
         raise ValueError("malformed fastq: expected '+' line")
     qual = f.readline().rstrip("\n")
-    return Fastq(name=name.rstrip("\n")[1:].split(" ")[0],
+    return Fastq(name=name.rstrip("\n")[1:],
                  seq=dna.from_string(seq), qual=to_qual(qual))
 
 
@@ -88,7 +88,8 @@ def read(filename: str) -> list[Fastq]:
 
 
 def to_big(fq: Fastq) -> FastqBig:
-    return FastqBig(name=fq.name, seq=fq.seq,
+    """Splits the name at whitespace like ReadFqBig/NextFastqPair."""
+    return FastqBig(name=fq.name.split(" ")[0], seq=fq.seq,
                     seq_rc=dna.reverse_complement(fq.seq).astype(np.int8),
                     qual=fq.qual)
 

@@ -32,8 +32,23 @@ class Axt:
     q_seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
 
 
+def read_axt_with_header(filename: str):
+    """axt.ReadToChan analog: returns (records, '#' header lines)."""
+    header = []
+    with fileio.easy_open(filename) as f:
+        raw = [ln.rstrip("\n") for ln in f]
+    for ln in raw:
+        if ln.startswith("#"):
+            header.append(ln)
+    lines = [ln for ln in raw if not ln.startswith("#")]
+    return _parse_axt_lines(lines), header
+
+
 def read_axt(filename: str) -> list[Axt]:
-    lines = [ln for ln in fileio.read(filename)]
+    return read_axt_with_header(filename)[0]
+
+
+def _parse_axt_lines(lines: list[str]) -> list[Axt]:
     out: list[Axt] = []
     i = 0
     while i < len(lines):

@@ -87,7 +87,8 @@ def _parse_samples(fields: list[str]) -> list[Sample]:
         sm = Sample()
         data = s.split(":")
         gt = data[0]
-        if gt == "." or gt == "":
+        if gt in (".", "") or all(x == "." for x in
+                                  gt.replace("|", "/").split("/")):
             sm.alleles = None
         else:
             phased = "|" in gt

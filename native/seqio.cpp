@@ -142,9 +142,7 @@ int64_t fastq_parse(const uint8_t* data, int64_t n, int32_t max_records,
         if (data[pos] != '@') return -1;
         int64_t name_start = pos + 1;
         while (pos < n && data[pos] != '\n') pos++;
-        int64_t name_end = name_start;
-        while (name_end < pos && data[name_end] != ' ') name_end++;
-        int64_t name_len = name_end - name_start;
+        int64_t name_len = pos - name_start;  // full header line
         if (name_off + name_len + 1 > name_cap) return -1;
         std::memcpy(name_buf + name_off, data + name_start, name_len);
         name_buf[name_off + name_len] = '\n';
