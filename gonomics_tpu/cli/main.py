@@ -1,0 +1,56 @@
+"""gonomics — umbrella command dispatcher (reference: cmd/gonomics).
+
+`gonomics <tool> [args...]` runs the named tool; `gonomics` alone lists
+what's available. The reference shells out to per-tool binaries via an
+embedded command cache (cmd/gonomics/gonomics.go:201); here tools are
+Python entry points dispatched in-process.
+"""
+
+from __future__ import annotations
+
+import sys
+
+COMMANDS = {
+    "globalAlignment": ("gonomics_tpu.cli.global_alignment",
+                        "Align 2 single-record fasta files"),
+    "faFindFast": ("gonomics_tpu.cli.fa_find_fast",
+                   "Sliding-window divergence between two sequences"),
+    "faFormat": ("gonomics_tpu.cli.fa_format", "Reformat fasta records"),
+    "gsw": ("gonomics_tpu.cli.gsw_cmd",
+            "Graph-Smith-Waterman read aligner (host or TPU engine)"),
+    "callVariants": ("gonomics_tpu.cli.call_variants",
+                     "Joint variant caller over experimental+normal samples"),
+    "samConsensus": ("gonomics_tpu.cli.sam_consensus",
+                     "Consensus fasta from a sam/bam over a reference"),
+    "pileup": ("gonomics_tpu.cli.pileup_cmd",
+               "Count bases from sequencing data"),
+    "reconstructSeq": ("gonomics_tpu.cli.reconstruct_seq",
+                       "Ancestral sequence reconstruction"),
+    "bedMerge": ("gonomics_tpu.cli.bed_merge",
+                 "Combine overlapping bed entries"),
+    "bedToWig": ("gonomics_tpu.cli.bed_to_wig", "Convert bed values to wig"),
+    "intervalOverlap": ("gonomics_tpu.cli.interval_overlap",
+                        "Find non/overlapping genomic regions"),
+    "mergesort": ("gonomics_tpu.cli.mergesort",
+                  "External merge sort of genomic records"),
+}
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print("gonomics_tpu — TPU-native sequence analysis\n\nCommands:")
+        for name, (_, desc) in sorted(COMMANDS.items()):
+            print(f"  {name:18s} {desc}")
+        return
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        raise SystemExit(f"unknown command: {cmd} (run 'gonomics help')")
+    import importlib
+
+    mod = importlib.import_module(COMMANDS[cmd][0])
+    mod.main(argv[1:])
+
+
+if __name__ == "__main__":
+    main()
