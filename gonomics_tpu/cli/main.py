@@ -33,6 +33,10 @@ COMMANDS = {
                         "Find non/overlapping genomic regions"),
     "mergesort": ("gonomics_tpu.cli.mergesort",
                   "External merge sort of genomic records"),
+    "multiFaToVcf": ("gonomics_tpu.cli.multi_fa_to_vcf",
+                     "VCF from a pairwise multiFa alignment"),
+    "simulateSam": ("gonomics_tpu.cli.simulate_sam",
+                    "Simulate Illumina paired reads from a reference"),
 }
 
 
