@@ -37,6 +37,8 @@ COMMANDS = {
                      "VCF from a pairwise multiFa alignment"),
     "simulateSam": ("gonomics_tpu.cli.simulate_sam",
                     "Simulate Illumina paired reads from a reference"),
+    "faFilter": ("gonomics_tpu.cli.fa_filter",
+                 "Filter fasta records by name/size/GC/range"),
 }
 
 
