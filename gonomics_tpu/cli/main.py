@@ -39,6 +39,8 @@ COMMANDS = {
                     "Simulate Illumina paired reads from a reference"),
     "faFilter": ("gonomics_tpu.cli.fa_filter",
                  "Filter fasta records by name/size/GC/range"),
+    "samToBed": ("gonomics_tpu.cli.sam_to_bed",
+                 "Aligned read positions as bed records"),
 }
 
 
