@@ -41,6 +41,10 @@ COMMANDS = {
                  "Filter fasta records by name/size/GC/range"),
     "samToBed": ("gonomics_tpu.cli.sam_to_bed",
                  "Aligned read positions as bed records"),
+    "bedFilter": ("gonomics_tpu.cli.bed_filter",
+                  "Filter bed records by score/length/position/name"),
+    "bedToFasta": ("gonomics_tpu.cli.bed_to_fasta",
+                   "Extract fasta subsequences for bed regions"),
 }
 
 
