@@ -235,6 +235,12 @@ def read(filename: str):
 
 
 def write_sam(filename: str, header: Header, records: list[Sam]) -> None:
+    """Writes text SAM, or BGZF BAM when the filename ends in .bam."""
+    if filename.endswith(".bam"):
+        from .bam_writer import write_bam
+
+        write_bam(filename, header, records)
+        return
     with fileio.easy_create(filename) as f:
         for line in header.text:
             f.write(line + "\n")

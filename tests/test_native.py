@@ -29,3 +29,34 @@ def test_fastq_native_matches_python(tmp_path):
         assert a.name == b.name
         assert (a.seq == b.seq).all()
         assert (a.qual == b.qual).all()
+
+
+def test_bam_write_round_trip(tmp_path):
+    from gonomics_tpu.io import sam as samio
+
+    src = "/root/reference/cmd/callVariants/testdata/human_chrM.bam"
+    h, recs = samio.read(src)
+    out = str(tmp_path / "rt.bam")
+    samio.write_sam(out, h, recs)
+    h2, recs2 = samio.read(out)
+    assert h2.text == h.text
+    assert len(recs2) == len(recs)
+    for a, b in zip(recs, recs2):
+        assert a.to_string() == b.to_string()
+        assert getattr(a, "_raw_tags", b"") == getattr(b, "_raw_tags", b"")
+
+
+def test_bam_write_native_decodable(tmp_path):
+    # the C++ bgzf scanner must accept our writer's framing
+    import gzip
+
+    from gonomics_tpu import native
+    from gonomics_tpu.io import sam as samio
+
+    src = "/root/reference/sam/testdata/peak.bam"
+    h, recs = samio.read(src)
+    out = str(tmp_path / "o.bam")
+    samio.write_sam(out, h, recs[:100])
+    raw = open(out, "rb").read()
+    if native.available():
+        assert native.bgzf_decompress(raw) == gzip.decompress(raw)
