@@ -45,6 +45,8 @@ COMMANDS = {
                   "Filter bed records by score/length/position/name"),
     "bedToFasta": ("gonomics_tpu.cli.bed_to_fasta",
                    "Extract fasta subsequences for bed regions"),
+    "liftCoordinates": ("gonomics_tpu.cli.lift_coordinates",
+                        "Lift bed/vcf between assemblies via chains"),
 }
 
 
