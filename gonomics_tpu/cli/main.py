@@ -47,6 +47,8 @@ COMMANDS = {
                    "Extract fasta subsequences for bed regions"),
     "liftCoordinates": ("gonomics_tpu.cli.lift_coordinates",
                         "Lift bed/vcf between assemblies via chains"),
+    "vcfFormat": ("gonomics_tpu.cli.vcf_format",
+                  "Options alter VCF formatting"),
 }
 
 
