@@ -49,6 +49,8 @@ COMMANDS = {
                         "Lift bed/vcf between assemblies via chains"),
     "vcfFormat": ("gonomics_tpu.cli.vcf_format",
                   "Options alter VCF formatting"),
+    "vcfToFa": ("gonomics_tpu.cli.vcf_to_fa",
+                "Edit a reference fasta with vcf variant data"),
 }
 
 
