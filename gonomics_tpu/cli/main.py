@@ -51,6 +51,8 @@ COMMANDS = {
                   "Options alter VCF formatting"),
     "vcfToFa": ("gonomics_tpu.cli.vcf_to_fa",
                 "Edit a reference fasta with vcf variant data"),
+    "wigTools": ("gonomics_tpu.cli.wig_tools",
+                 "Wig manipulation: peaks/filter/math/stats/trainingSet"),
 }
 
 
