@@ -53,6 +53,8 @@ COMMANDS = {
                 "Edit a reference fasta with vcf variant data"),
     "wigTools": ("gonomics_tpu.cli.wig_tools",
                  "Wig manipulation: peaks/filter/math/stats/trainingSet"),
+    "statCalc": ("gonomics_tpu.cli.stat_calc",
+                 "Command line statistics calculator"),
 }
 
 

@@ -96,3 +96,140 @@ def pearson(x, y) -> float:
     yc = y - y.mean()
     return float((xc * yc).sum()
                  / math.sqrt((xc * xc).sum() * (yc * yc).sum()))
+
+
+# --- Romberg integration + distribution integrals (numbers/integrate.go,
+# distribution.go) ---
+
+def rombergs_method(f, a: float, b: float, estimated_error: float,
+                    relative_est_error: float, max_iter: int) -> float:
+    """integrate.go:67 rombergsMethod, literal recurrence so converged
+    values match the reference float-for-float."""
+    prev_r = [0.0] * max_iter
+    curr_r = [0.0] * max_iter
+    min_iter = 10
+    prev_r[0] = 0.5 * (f(a) + f(b))
+    for n in range(1, max_iter):
+        h = math.ldexp(b - a, -n)
+        curr_r[0] = 0.0
+        k_max = int(math.ldexp(1.0, n - 1))
+        for k in range(1, k_max + 1):
+            curr_r[0] += f(a + (2 * k - 1) * h)
+        curr_r[0] *= h
+        curr_r[0] += 0.5 * prev_r[0]
+        for m in range(1, n + 1):
+            curr_r[m] = curr_r[m - 1] + 1 / (math.pow(4, m) - 1) \
+                * (curr_r[m - 1] - prev_r[m - 1])
+        curr_est_error = abs(curr_r[n] - prev_r[n - 1])
+        if (curr_est_error < estimated_error
+                or curr_est_error < relative_est_error * abs(curr_r[n])) \
+                and n >= min_iter:
+            return curr_r[n]
+        prev_r, curr_r = curr_r, prev_r
+    raise ArithmeticError("Romberg's method did not converge.")
+
+
+def definite_integral(f, start: float, end: float) -> float:
+    return rombergs_method(f, start, end, 1e-8, 1e-8, 30)
+
+
+def definite_small_integral(f, start: float, end: float) -> float:
+    return rombergs_method(f, start, end, 0.0, 1e-6, 30)
+
+
+def normal_adaptive_integral(left: str, right: str, mu: float,
+                             sigma: float) -> float:
+    """numbers.NormalAdaptiveIntegral (distribution.go:164) with the
+    reference's +-6/38 sigma tail shortcuts."""
+    def f(x):
+        return normal_dist(x, mu, sigma)
+    left_inf = left in ("-INF", "-Inf", "-inf")
+    right_inf = right in ("INF", "Inf", "inf")
+    if left_inf and right_inf:
+        return 1.0
+    if not left_inf and not right_inf:
+        return definite_small_integral(f, float(left), float(right))
+    if left_inf:
+        r = float(right)
+        if r > mu + 6 * sigma:
+            return 1.0
+        if r < mu - 38 * sigma:
+            return 0.0
+        if r > mu - 3 * sigma:
+            return definite_small_integral(f, r - 15 * sigma, r)
+        return definite_small_integral(f, r - 10 * sigma, r)
+    lf = float(left)
+    if lf < mu - 6 * sigma:
+        return 1.0
+    if lf > mu + 38 * sigma:
+        return 0.0
+    if lf < mu + 10 * sigma:
+        return definite_small_integral(f, lf, lf + 15 * sigma)
+    return definite_small_integral(f, lf, lf + 10 * sigma)
+
+
+def beta_integral(left: float, right: float, alpha: float,
+                  beta: float) -> float:
+    return definite_integral(lambda x: beta_dist(x, alpha, beta),
+                             left, right)
+
+
+def gamma_integral(left: float, right: float, alpha: float,
+                   beta: float) -> float:
+    return definite_integral(lambda x: gamma_dist(x, alpha, beta),
+                             left, right)
+
+
+def gamma_left_integral(x: float, alpha: float, beta: float) -> float:
+    return definite_integral(lambda v: gamma_dist(v, alpha, beta), 0, x)
+
+
+def gamma_right_integral(x: float, alpha: float, beta: float) -> float:
+    return 1 - gamma_left_integral(x, alpha, beta)
+
+
+def poisson_sum(left: int, right: int, lam: float) -> float:
+    """numbers.PoissonSum (distribution.go:266): the reference rejects
+    right > left then iterates left..right-1 (an always-empty range for
+    valid input) — preserved for parity."""
+    if right > left:
+        raise ValueError("PoissonSum: right must be lower than left")
+    return sum(poisson_dist(i, lam) for i in range(left, right))
+
+
+def binomial_sum(left: int, right: int, n: int, p: float) -> float:
+    """numbers.BinomialSum (distribution.go:307): the left term is
+    double-counted (answer seeded with dist(left) before the inclusive
+    loop) — preserved for parity."""
+    if right < left:
+        raise ValueError("BinomialSum: right must be greater than left")
+    answer = binomial_dist(n, left, p)
+    for i in range(left, right + 1):
+        answer += binomial_dist(n, i, p)
+    return answer
+
+
+def fast_rejection_sampler(x_left: float, x_right: float, f, bins: int,
+                           max_sample_depth: int, samples: int, rng=None):
+    """numbers.FastRejectionSampler (monteCarlo.go:48) with numpy
+    uniforms (the Go rand stream is not reproducible)."""
+    import numpy as np
+
+    rng = np.random.default_rng() if rng is None else rng
+    step = (x_right - x_left) / bins
+    edges = x_left + step * np.arange(bins)
+    heights = np.array([max(f(e), f(e + step)) for e in edges])
+    cum = np.cumsum(heights / heights.sum())
+    out = np.empty(samples)
+    for j in range(samples):
+        for _ in range(max_sample_depth):
+            b = int(np.searchsorted(cum, rng.random(), side="right"))
+            b = min(b, bins - 1)
+            x = x_left + b * step + rng.random() * step
+            if rng.random() * heights[b] < f(x):
+                out[j] = x
+                break
+        else:
+            raise ArithmeticError("exceeded max iteration in rejection "
+                                  "sampler")
+    return out
