@@ -55,6 +55,8 @@ COMMANDS = {
                  "Wig manipulation: peaks/filter/math/stats/trainingSet"),
     "statCalc": ("gonomics_tpu.cli.stat_calc",
                  "Command line statistics calculator"),
+    "vcfFilter": ("gonomics_tpu.cli.vcf_filter",
+                  "Filter vcf records"),
 }
 
 
