@@ -57,6 +57,14 @@ COMMANDS = {
                  "Command line statistics calculator"),
     "vcfFilter": ("gonomics_tpu.cli.vcf_filter",
                   "Filter vcf records"),
+    "bedpeFilter": ("gonomics_tpu.cli.bedpe_filter",
+                    "Filter bedpe contacts"),
+    "bedpeOverlap": ("gonomics_tpu.cli.bedpe_overlap",
+                     "Filter bedpe entries by select-file overlap"),
+    "bedGraphToWig": ("gonomics_tpu.cli.bed_graph_to_wig",
+                      "Convert bedGraph to wig"),
+    "assemblyStats": ("gonomics_tpu.cli.assembly_stats",
+                      "Scaffold/contig N50 statistics"),
 }
 
 

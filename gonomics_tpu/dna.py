@@ -159,3 +159,46 @@ def dist(a: np.ndarray, b: np.ndarray) -> int:
     if len(a) != len(b):
         raise ValueError("Dist requires equal-length sequences")
     return int((a != b).sum())
+
+
+# --- melting temperature (reference: dna/calc.go) ---
+
+# nearest-neighbor deltaH/deltaS (Allawi & SantaLucia 1997)
+_NN_TABLE = {
+    "selfComp": (0.0, -1.4), "endAT": (2.3, 4.1), "endGC": (0.1, -2.8),
+    "AA": (-7.9, -22.2), "TT": (-7.9, -22.2), "AT": (-7.2, -20.4),
+    "TA": (-7.2, -21.2), "CA": (-8.5, -22.7), "TG": (-8.5, -22.7),
+    "GT": (-8.4, -22.4), "AC": (-8.4, -22.4), "CT": (-7.8, -21.0),
+    "AG": (-7.8, -21.0), "GA": (-8.2, -22.2), "TC": (-8.2, -22.2),
+    "CG": (-10.6, -27.2), "GC": (-9.8, -24.4), "GG": (-8.0, -19.9),
+    "CC": (-8.0, -19.9),
+}
+
+
+def melting_temp(seq: np.ndarray) -> float:
+    """dna.MeltingTemp (calc.go:56): nearest-neighbor Tm in Celsius,
+    500 nM oligo+template, 50 mM Na+."""
+    import math
+
+    seq = to_upper(np.asarray(seq))
+    if not np.all((seq >= A) & (seq <= T)):
+        raise ValueError("non-ACGT bases are not supported for Tm")
+    r_const = 1.987
+    k = (250 - 250 / 2) * 1e-9
+    self_comp = bool(np.array_equal(seq, reverse_complement(seq)))
+    d_h = d_s = 0.0
+    for b in (int(seq[0]), int(seq[-1])):
+        key = "endAT" if b in (A, T) else "endGC"
+        d_h += _NN_TABLE[key][0]
+        d_s += _NN_TABLE[key][1]
+    s = to_string(seq)
+    for i in range(len(s) - 1):
+        h, sv = _NN_TABLE[s[i:i + 2]]
+        d_h += h
+        d_s += sv
+    if self_comp:
+        k = 250e-9
+        d_h += _NN_TABLE["selfComp"][0]
+        d_s += _NN_TABLE["selfComp"][1]
+    d_s += 0.368 * (len(seq) - 1) * math.log(50e-3)
+    return (1000 * d_h) / (d_s + r_const * math.log(k)) - 273.15

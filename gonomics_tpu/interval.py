@@ -78,29 +78,147 @@ def transform(q_start: int, q_end: int, op: str):
     return x1, x2, y1, y2
 
 
+class _Node:
+    """Range-tree node with fractional cascading (interval.go:24)."""
+
+    __slots__ = ("val", "data", "x_mid", "i_left", "i_right", "l", "r")
+
+    def __init__(self):
+        self.val = None
+        self.data = []
+        self.x_mid = 0
+        self.i_left = self.i_right = None
+        self.l = self.r = None
+
+
+def _y(rec) -> int:
+    return chrom_end(rec) - 1
+
+
+def _create_fc_index(large: list, small: list) -> list[int]:
+    """createFCIndex (interval.go:50)."""
+    answer = [0] * len(large)
+    si = 0
+    i = 0
+    while i < len(large):
+        if si > len(small) - 1:
+            answer[i] = -1
+            i += 1
+            continue
+        if _y(large[i]) <= _y(small[si]):
+            answer[i] = si
+            i += 1
+        else:
+            si += 1
+    return answer
+
+
+def _build_tree(intervals: list) -> _Node:
+    """buildTree (interval.go:92): intervals arrive y-sorted."""
+    node = _Node()
+    p = sorted(intervals, key=chrom_start)
+    node.data = list(intervals)
+    if len(p) == 1:
+        node.val = p[0]
+        return node
+    mid = (len(p) - 1) // 2
+    p_left = sorted(p[:mid + 1], key=_y)
+    p_right = sorted(p[mid + 1:], key=_y)
+    node.x_mid = chrom_start(p[mid])
+    node.i_left = _create_fc_index(node.data, p_left)
+    node.i_right = _create_fc_index(node.data, p_right)
+    node.l = _build_tree(p_left)
+    node.r = _build_tree(p_right)
+    return node
+
+
+def _find_split(x1: float, x2: float, node: _Node) -> _Node:
+    while node.val is None:
+        if node.x_mid < x1:
+            node = node.r
+        elif x2 < node.x_mid:
+            node = node.l
+        else:
+            return node
+    return node
+
+
+def _within_range(rec, op: str, x1, x2, y1, y2) -> bool:
+    q1, q2 = float(chrom_start(rec)), float(_y(rec))
+    if op in ("m", "mi") and q1 == q2:
+        return False
+    return x1 <= q1 <= x2 and y1 <= q2 <= y2
+
+
+def _fc_query(tree: _Node, q, op: str) -> list:
+    """query (interval.go:253): literal FC range-tree traversal so
+    multi-hit result ORDER matches the reference byte-for-byte."""
+    import bisect
+
+    x1, x2, y1, y2 = transform(chrom_start(q), chrom_end(q), op)
+    answer: list = []
+    split = _find_split(x1, x2, tree)
+    if split.val is not None:
+        if _within_range(split.val, op, x1, x2, y1, y2):
+            answer.append(split.val)
+        return answer
+    ys = [_y(r) for r in split.data]
+    i = bisect.bisect_left(ys, y1)
+    ri = i
+    if i >= len(split.data):
+        return []
+
+    def emit(rec):
+        if op in ("m", "mi") and chrom_start(rec) == _y(rec):
+            return
+        answer.append(rec)
+
+    v, i = split.l, split.i_left[i]
+    while v.val is None and i != -1:
+        if x1 <= v.x_mid:
+            j = v.i_right[i]
+            while j != -1 and j < len(v.r.data) and _y(v.r.data[j]) <= y2:
+                emit(v.r.data[j])
+                j += 1
+            i, v = v.i_left[i], v.l
+        else:
+            i, v = v.i_right[i], v.r
+    if v.val is not None and _within_range(v.val, op, x1, x2, y1, y2):
+        answer.append(v.val)
+
+    v, i = split.r, split.i_right[ri]
+    while v.val is None and i != -1:
+        if x2 >= v.x_mid:
+            j = v.i_left[i]
+            while j != -1 and j < len(v.l.data) and _y(v.l.data[j]) <= y2:
+                emit(v.l.data[j])
+                j += 1
+            i, v = v.i_right[i], v.r
+        else:
+            i, v = v.i_left[i], v.l
+    if v.val is not None and _within_range(v.val, op, x1, x2, y1, y2):
+        answer.append(v.val)
+    return answer
+
+
 class IntervalIndex:
-    """Per-chromosome sorted coordinate arrays (BuildTree analog)."""
+    """interval.BuildTree analog: per-chromosome fractional-cascading
+    range trees with reference-identical query result ordering."""
 
     def __init__(self, records):
-        self.by_chrom: dict[str, tuple[np.ndarray, np.ndarray, list]] = {}
+        self.by_chrom: dict[str, _Node] = {}
         groups: dict[str, list] = {}
         for r in records:
             groups.setdefault(chrom_of(r), []).append(r)
         for chrom, recs in groups.items():
-            # the reference sorts by y (end) for its tree layout; keep
-            # that order so multi-hit output order matches
-            recs.sort(key=lambda r: (chrom_end(r) - 1, chrom_start(r)))
-            xs = np.array([chrom_start(r) for r in recs], np.float64)
-            ys = np.array([chrom_end(r) - 1 for r in recs], np.float64)
-            self.by_chrom[chrom] = (xs, ys, recs)
+            recs.sort(key=_y)
+            self.by_chrom[chrom] = _build_tree(recs)
 
     def query_one(self, q, op: str) -> list:
-        if chrom_of(q) not in self.by_chrom:
+        tree = self.by_chrom.get(chrom_of(q))
+        if tree is None:
             return []
-        xs, ys, recs = self.by_chrom[chrom_of(q)]
-        x1, x2, y1, y2 = transform(chrom_start(q), chrom_end(q), op)
-        mask = (xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2)
-        return [recs[i] for i in np.nonzero(mask)[0]]
+        return _fc_query(tree, q, op)
 
     def query(self, q, relationship: str) -> list:
         """interval.Query (interval.go:157): compound relationships are

@@ -150,3 +150,66 @@ def segregating_sites(records: list[Fasta]) -> list[int]:
     has_n = (dna.to_upper(mat) == dna.N).any(axis=0)
     differs = (mat != mat[0]).any(axis=0)
     return [int(i) for i in np.nonzero(differs & ~has_n)[0]]
+
+
+# --- assembly statistics (reference: fasta/assemblyStats.go) ---
+
+def make_contig_list(records: list[Fasta], count_lower_as_gaps: bool):
+    """MakeContigList (assemblyStats.go:62): contig lengths split on N
+    (and lowercase when countLowerAsGaps)."""
+    out: list[int] = []
+    for rec in records:
+        seq = np.asarray(rec.seq)
+        is_gap = seq == dna.N
+        if count_lower_as_gaps:
+            is_gap |= (seq >= dna.LOWER_A) & (seq <= dna.LOWER_N)
+        run = 0
+        for g in is_gap:
+            if g:
+                if run:
+                    out.append(run)
+                run = 0
+            else:
+                run += 1
+        if run:
+            out.append(run)
+    return out
+
+
+def calculate_n50_l50(sorted_contigs: list[int], half_genome: int):
+    """CalculateN50L50 (assemblyStats.go:44)."""
+    total = 0
+    l50 = 0
+    for i in range(len(sorted_contigs) - 1, -1, -1):
+        l50 += 1
+        total += sorted_contigs[i]
+        if total >= half_genome:
+            return sorted_contigs[i], l50
+    raise ValueError("unable to calculate N50/L50")
+
+
+def assembly_stats(infile: str, count_lower_as_gaps: bool):
+    """AssemblyStats (assemblyStats.go:15): returns (N50, L50,
+    halfGenome, genomeLength, largestContig, numContigs)."""
+    contigs = make_contig_list(read(infile), count_lower_as_gaps)
+    if not contigs:
+        raise ValueError("contig list is empty")
+    genome_length = sum(contigs)
+    contigs.sort()
+    half = genome_length // 2
+    n50, l50 = calculate_n50_l50(contigs, half)
+    return n50, l50, half, genome_length, contigs[-1], len(contigs)
+
+
+def write_assembly_stats(name: str, outfile: str, n50: int, l50: int,
+                         half: int, genome_length: int, largest: int,
+                         num_contigs: int) -> None:
+    """WriteAssemblyStats (assemblyStats.go:110)."""
+    with fileio.easy_create(outfile) as f:
+        f.write(f"Assembly Name: {name}\n")
+        f.write(f"halfGenome: {half}\n")
+        f.write(f"genomeLength: {genome_length}\n")
+        f.write(f"Number of contigs: {num_contigs}\n")
+        f.write(f"Largest Contig: {largest}\n")
+        f.write(f"N50: {n50}\n")
+        f.write(f"L50: {l50}\n")
