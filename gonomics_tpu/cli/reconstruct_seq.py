@@ -22,6 +22,8 @@ def reconstruct_seq(newick_file: str, fasta_file: str, out_file: str, *,
                     bias_n: bool = False,
                     highest_prob_threshold: float = 0.0,
                     keep_all_seq: bool = False, sub_matrix: bool = False,
+                    substitution_matrix_file: str = "",
+                    unit_branch_length: float = -1.0,
                     pdna_node: str = "", pdna_node_multi=None,
                     pdna_out_file: str = "") -> None:
     pdna_node_multi = pdna_node_multi or []
@@ -36,6 +38,12 @@ def reconstruct_seq(newick_file: str, fasta_file: str, out_file: str, *,
                          "between 0 and 1.")
 
     root = read_tree(newick_file, fasta_file)
+    if sub_matrix:
+        from ..phylo.etree import (parse_substitution_matrix,
+                                   populate_substitution_matrices)
+
+        unit = parse_substitution_matrix(substitution_matrix_file)
+        populate_substitution_matrices(root, unit, unit_branch_length)
     pdna_rec, pdna_multi = reconstruct_tree(
         root, bias_leaf_name=bias_leaf_name, bias_node_name=bias_node_name,
         non_bias_threshold=non_bias_prob_threshold, bias_n=bias_n,
@@ -83,6 +91,9 @@ def main(argv=None) -> None:
     p.add_argument("-biasN", action="store_true")
     p.add_argument("-highestProbThreshold", type=float, default=0.0)
     p.add_argument("-keepAllSeq", action="store_true")
+    p.add_argument("-subMatrix", action="store_true")
+    p.add_argument("-substitutionMatrixFile", default="")
+    p.add_argument("-unitBranchLength", type=float, default=-1.0)
     p.add_argument("-pDnaNode", default="")
     p.add_argument("-pDnaOutFile", default="")
     a = p.parse_args(argv)
@@ -92,7 +103,10 @@ def main(argv=None) -> None:
                     non_bias_prob_threshold=a.nonBiasProbThreshold,
                     bias_n=a.biasN,
                     highest_prob_threshold=a.highestProbThreshold,
-                    keep_all_seq=a.keepAllSeq, pdna_node=a.pDnaNode,
+                    keep_all_seq=a.keepAllSeq, sub_matrix=a.subMatrix,
+                    substitution_matrix_file=a.substitutionMatrixFile,
+                    unit_branch_length=a.unitBranchLength,
+                    pdna_node=a.pDnaNode,
                     pdna_out_file=a.pDnaOutFile)
 
 

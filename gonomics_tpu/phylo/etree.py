@@ -140,3 +140,53 @@ def find_node(node: ETree | None, name: str) -> ETree | None:
     if found is not None:
         return found
     return find_node(node.right, name)
+
+
+# --- substitution matrices (expandedTree/substitutionMatrix.go) ---
+
+DEFAULT_SUBSTITUTION_MATRIX = [
+    [0.91, 0.03, 0.03, 0.03],
+    [0.03, 0.91, 0.03, 0.03],
+    [0.03, 0.03, 0.91, 0.03],
+    [0.03, 0.03, 0.03, 0.91],
+]
+
+
+def parse_substitution_matrix(filename: str):
+    """simulate.ParseSubstitutionMatrix (nonCoding.go:71): 4x4 TSV, or
+    the Jukes-Cantor-like default when no file is given."""
+    if not filename:
+        return [row[:] for row in DEFAULT_SUBSTITUTION_MATRIX]
+    from .. import fileio
+
+    with fileio.easy_open(filename) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    if len(lines) != 4:
+        raise ValueError(f"expected 4 lines in substitution matrix, "
+                         f"found {len(lines)}")
+    out = []
+    for ln in lines:
+        words = ln.split("\t")
+        if len(words) != 4:
+            raise ValueError("expected 4 fields per matrix line")
+        out.append([float(w) for w in words])
+    return out
+
+
+def populate_substitution_matrices(node: ETree, unit_matrix,
+                                   unit_branch_length: float) -> None:
+    """expandedTree.PopulateSubstitutionMatrices
+    (substitutionMatrix.go:13): per-branch S^(t/unit)."""
+    import numpy as np
+
+    from ..numbers.matrix import fractional_symmetric_matrix_exponentiation
+
+    unit = np.asarray(unit_matrix, np.float64)
+    node.substitution_matrix = fractional_symmetric_matrix_exponentiation(
+        unit, node.branch_length / unit_branch_length)
+    if node.left is not None:
+        populate_substitution_matrices(node.left, unit_matrix,
+                                       unit_branch_length)
+    if node.right is not None:
+        populate_substitution_matrices(node.right, unit_matrix,
+                                       unit_branch_length)
