@@ -65,6 +65,29 @@ COMMANDS = {
                       "Convert bedGraph to wig"),
     "assemblyStats": ("gonomics_tpu.cli.assembly_stats",
                       "Scaffold/contig N50 statistics"),
+    "faInfo": ("gonomics_tpu.cli.fa_info", "Per-record fasta base counts"),
+    "faUniq": ("gonomics_tpu.cli.fa_uniq",
+               "Pull unique sequences from a fasta"),
+    "catMultiFa": ("gonomics_tpu.cli.cat_multi_fa",
+                   "Concatenate multiFa alignments by sequence"),
+    "multiFaCount": ("gonomics_tpu.cli.multi_fa_count",
+                     "Count present bases in multiFa sequences"),
+    "multiFaExtract": ("gonomics_tpu.cli.multi_fa_extract",
+                       "Pull sub-sequence from a multiFa alignment"),
+    "multiFaReduce": ("gonomics_tpu.cli.multi_fa_reduce",
+                      "Keep only variable multiFa columns"),
+    "mergeMultiFa": ("gonomics_tpu.cli.merge_multi_fa",
+                     "Merge two multiFa files on a shared reference"),
+    "multiFaSequenceSwap": ("gonomics_tpu.cli.multi_fa_sequence_swap",
+                            "Swap bed regions between multiFa sequences"),
+    "faBin": ("gonomics_tpu.cli.fa_bin",
+              "Bin fasta records into grouped files"),
+    "randSeq": ("gonomics_tpu.cli.rand_seq",
+                "Generate pseudorandom DNA fasta"),
+    "locateCG": ("gonomics_tpu.cli.locate_cg",
+                 "Locate/compare CpG sites"),
+    "countPairOfBases": ("gonomics_tpu.cli.count_pair_of_bases",
+                         "Count base pairs in sequences or bed regions"),
 }
 
 

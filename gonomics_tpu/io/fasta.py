@@ -213,3 +213,121 @@ def write_assembly_stats(name: str, outfile: str, n50: int, l50: int,
         f.write(f"Largest Contig: {largest}\n")
         f.write(f"N50: {n50}\n")
         f.write(f"L50: {l50}\n")
+
+
+# --- multiFa scan/extract helpers (reference: fasta/multiFa.go, modify.go,
+#     fasta.go:184, faBin.go) ---
+
+def copy(rec: Fasta) -> Fasta:
+    """fasta.Copy (modify.go:55)."""
+    return Fasta(rec.name, np.array(rec.seq, dtype=np.int8, copy=True))
+
+
+def empty_copy(records: list[Fasta]) -> list[Fasta]:
+    """fasta.EmptyCopy (multiFa.go:169)."""
+    return [Fasta(r.name, np.zeros(0, np.int8)) for r in records]
+
+
+def extract(rec: Fasta, start: int, end: int, name: str) -> Fasta:
+    """fasta.Extract (fasta.go:184)."""
+    return Fasta(name, np.asarray(rec.seq)[start:end])
+
+
+def remove_gaps(records: list[Fasta]) -> list[Fasta]:
+    """fasta.RemoveGaps (modify.go:15)."""
+    for r in records:
+        s = np.asarray(r.seq)
+        r.seq = s[s != dna.GAP]
+    return records
+
+
+def find_sequence_index(records: list[Fasta], query_name: str) -> int:
+    """findSequenceIndex (multiFa.go:441): unique-name lookup."""
+    idx: dict[str, int] = {}
+    for i, r in enumerate(records):
+        if r.name in idx:
+            raise ValueError(f"{r.name} used for multiple fasta records. "
+                             "record names must be unique.")
+        idx[r.name] = i
+    if query_name not in idx:
+        raise SystemExit(f"queryName {query_name} not found in fasta "
+                         "records.")
+    return idx[query_name]
+
+
+def _present(seq: np.ndarray) -> np.ndarray:
+    return np.asarray(seq) <= dna.T  # uppercase A,C,G,T codes are 0..3
+
+
+def scan_present_base(records: list[Fasta], query: str) -> int:
+    """fasta.ScanPresentBase (multiFa.go:376)."""
+    return int(_present(records[find_sequence_index(records, query)].seq)
+               .sum())
+
+
+def scan_present_base_both(records: list[Fasta], q1: str, q2: str) -> int:
+    """fasta.ScanPresentBaseBoth (multiFa.go:394)."""
+    a = _present(records[find_sequence_index(records, q1)].seq)
+    b = _present(records[find_sequence_index(records, q2)].seq)
+    return int((a & b).sum())
+
+
+def scan_present_base_either(records: list[Fasta], q1: str, q2: str,
+                             q3: str) -> int:
+    """fasta.ScanPresentBaseEither (multiFa.go:415)."""
+    a = _present(records[find_sequence_index(records, q1)].seq)
+    b = _present(records[find_sequence_index(records, q2)].seq)
+    c = _present(records[find_sequence_index(records, q3)].seq)
+    return int((a | b | c).sum())
+
+
+def segregating_columns(records: list[Fasta]) -> np.ndarray:
+    """Column indices where fasta.IsSegregating (multiFa.go:179) is true
+    (any base differs from the first sequence, gaps and N included)."""
+    mat = np.stack([np.asarray(r.seq) for r in records])
+    return np.nonzero((mat != mat[0]).any(axis=0))[0]
+
+
+def segregating_sites_fasta(records: list[Fasta]) -> list[Fasta]:
+    """fasta.SegregatingSites (multiFa.go:211): only variable columns."""
+    cols = segregating_columns(records)
+    return [Fasta(r.name, np.asarray(r.seq)[cols]) for r in records]
+
+
+def bin_genome_no_breaks(genome: list[Fasta], bin_num: int,
+                         min_size: int) -> dict[int, list[Fasta]]:
+    """fasta.BinGenomeNoBreaks (faBin.go:17): whole records into bins."""
+    bins: dict[int, list[Fasta]] = {}
+    if min_size != -1:
+        for j, rec in enumerate(genome):
+            if not bins:
+                bins[0] = [rec]
+            elif len(rec.seq) > min_size:
+                bins[len(bins)] = [rec]
+            else:
+                k = -1  # findBinBelowMin: LAST bin below min (faBin.go:108)
+                for i in range(len(bins)):
+                    if sum(len(f.seq) for f in bins[i]) < min_size:
+                        k = i
+                if k < 0 and j + 1 == len(genome):
+                    bins[len(bins) - 1].append(rec)  # faBin.go:90
+                elif k < 0:
+                    bins[len(bins)] = [rec]
+                else:
+                    bins[k].append(rec)
+        return bins
+    if len(genome) < bin_num:
+        raise SystemExit("Number of bins is greater than the number of "
+                         "contigs in the given genome. Reduce bin number.")
+    for n in range(bin_num):
+        bins[n] = [genome[n]]
+    for rec in genome[bin_num:]:  # fillSmallestBin (faBin.go:40)
+        sizes = {i: sum(len(f.seq) for f in bins[i]) for i in bins}
+        smallest, size_smallest = 0, 0
+        for i in range(len(bins)):
+            if sizes[i] < size_smallest:
+                smallest, size_smallest = i, sizes[i]
+            elif size_smallest == 0:
+                size_smallest = sizes[i]
+        bins[smallest].append(rec)
+    return bins
