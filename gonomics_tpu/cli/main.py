@@ -88,6 +88,32 @@ COMMANDS = {
                  "Locate/compare CpG sites"),
     "countPairOfBases": ("gonomics_tpu.cli.count_pair_of_bases",
                          "Count base pairs in sequences or bed regions"),
+    "bedFormat": ("gonomics_tpu.cli.bed_format",
+                  "Options alter bed formatting"),
+    "bedMath": ("gonomics_tpu.cli.bed_math",
+                "Arithmetic on float values in bed files"),
+    "bedSplit": ("gonomics_tpu.cli.bed_split",
+                 "Partition a bed by name or chrom"),
+    "bedShear": ("gonomics_tpu.cli.bed_shear",
+                 "Split bed entries into fragments"),
+    "bedSimilarity": ("gonomics_tpu.cli.bed_similarity",
+                      "Overlap-proportion statistics between bed files"),
+    "bedOverlapByWindow": ("gonomics_tpu.cli.bed_overlap_by_window",
+                           "Count bp in bed regions per window"),
+    "bedDistanceFromChrEnds": (
+        "gonomics_tpu.cli.bed_distance_from_chr_ends",
+        "Score = min distance to chromosome end"),
+    "bedMinimumDistanceName": (
+        "gonomics_tpu.cli.bed_minimum_distance_name",
+        "Min distance between name-matched beds"),
+    "bedValueWig": ("gonomics_tpu.cli.bed_value_wig",
+                    "Annotate beds with wig max/min/average"),
+    "bedToAminoAcid": ("gonomics_tpu.cli.bed_to_amino_acid",
+                       "Translate bed-region DNA to amino acids"),
+    "cigarToBed": ("gonomics_tpu.cli.cigar_to_bed",
+                   "Affine-gap align two fastas, emit indel beds"),
+    "digestGenome": ("gonomics_tpu.cli.digest_genome",
+                     "Restriction-fragment bed from fasta + motif"),
 }
 
 
