@@ -114,6 +114,12 @@ COMMANDS = {
                    "Affine-gap align two fastas, emit indel beds"),
     "digestGenome": ("gonomics_tpu.cli.digest_genome",
                      "Restriction-fragment bed from fasta + motif"),
+    "fastqFilter": ("gonomics_tpu.cli.fastq_filter",
+                    "Filter fastq records"),
+    "fastqFormat": ("gonomics_tpu.cli.fastq_format",
+                    "10x single-cell renaming of paired reads"),
+    "fastqReplaceSeq": ("gonomics_tpu.cli.fastq_replace_seq",
+                        "Prefix find-and-replace in fastq sequences"),
 }
 
 

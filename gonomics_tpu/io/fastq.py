@@ -114,3 +114,35 @@ def write_pairs(file_one: str, file_two: str,
                 records: list[tuple[Fastq, Fastq]]) -> None:
     write(file_one, [a for a, _ in records])
     write(file_two, [b for _, b in records])
+
+
+def write_to_handle(f, fq: Fastq) -> None:
+    """fastq.WriteToFileHandle (fastq.go)."""
+    f.write(f"@{fq.name}\n{dna.to_string(fq.seq)}\n+\n"
+            f"{qual_string(fq.qual)}\n")
+
+
+def read_pairs(file_one: str, file_two: str) -> list[tuple[Fastq, Fastq]]:
+    """fastq.NextFastqPair (pairedEnd.go:67) as a list: names are
+    truncated at the first space."""
+    a, b = read(file_one), read(file_two)
+    if len(a) != len(b):
+        raise ValueError("paired fastq files have different read counts")
+    for fq in a + b:
+        fq.name = fq.name.split(" ")[0]
+    return list(zip(a, b))
+
+
+def to_single_cell_pair(fwd: Fastq, rev: Fastq, barcode_length: int,
+                        umi_length: int):
+    """fastq.PairedEndToSingleCellPair (singleCell.go:34): returns
+    (trimmed/renamed fwd, renamed rev, barcode, umi)."""
+    bx = np.array(fwd.seq[:barcode_length], copy=True)
+    umi = np.array(fwd.seq[barcode_length:barcode_length + umi_length],
+                   copy=True)
+    tag = f"_UMI:{dna.to_string(umi)}_BX:{dna.to_string(bx)}"
+    new_fwd = Fastq(fwd.name + tag,
+                    fwd.seq[barcode_length + umi_length:],
+                    fwd.qual[barcode_length + umi_length:])
+    new_rev = Fastq(rev.name + tag, rev.seq, rev.qual)
+    return new_fwd, new_rev, bx, umi
