@@ -120,6 +120,14 @@ COMMANDS = {
                     "10x single-cell renaming of paired reads"),
     "fastqReplaceSeq": ("gonomics_tpu.cli.fastq_replace_seq",
                         "Prefix find-and-replace in fastq sequences"),
+    "mafFilter": ("gonomics_tpu.cli.maf_tools:main_filter",
+                  "Filter maf blocks by score threshold"),
+    "mafToBed": ("gonomics_tpu.cli.maf_tools:main_to_bed",
+                 "Maf blocks to reference-species bed"),
+    "mafToMultiFa": ("gonomics_tpu.cli.maf_tools:main_to_multi_fa",
+                     "Maf alignment to multi-fasta"),
+    "mafIndels": ("gonomics_tpu.cli.maf_tools:main_indels",
+                  "Insertions/deletions from pairwise maf e-lines"),
 }
 
 
@@ -135,8 +143,10 @@ def main(argv=None) -> None:
         raise SystemExit(f"unknown command: {cmd} (run 'gonomics help')")
     import importlib
 
-    mod = importlib.import_module(COMMANDS[cmd][0])
-    mod.main(argv[1:])
+    target = COMMANDS[cmd][0]
+    mod_name, _, fn_name = target.partition(":")
+    mod = importlib.import_module(mod_name)
+    getattr(mod, fn_name or "main")(argv[1:])
 
 
 if __name__ == "__main__":
