@@ -128,6 +128,12 @@ COMMANDS = {
                      "Maf alignment to multi-fasta"),
     "mafIndels": ("gonomics_tpu.cli.maf_tools:main_indels",
                   "Insertions/deletions from pairwise maf e-lines"),
+    "gtfTools": ("gonomics_tpu.cli.gtf_tools",
+                 "GTF filter/toBed subcommands"),
+    "getPromoter": ("gonomics_tpu.cli.get_promoter",
+                    "Promoter beds for a gene list"),
+    "geneIdToName": ("gonomics_tpu.cli.gene_id_to_name",
+                     "Replace gene IDs with names via a table"),
 }
 
 
