@@ -134,6 +134,8 @@ COMMANDS = {
                     "Promoter beds for a gene list"),
     "geneIdToName": ("gonomics_tpu.cli.gene_id_to_name",
                      "Replace gene IDs with names via a table"),
+    "overlapEnrichments": ("gonomics_tpu.cli.overlap_enrichments",
+                           "Enrichment/depletion p-values for overlaps"),
 }
 
 
