@@ -136,6 +136,22 @@ COMMANDS = {
                      "Replace gene IDs with names via a table"),
     "overlapEnrichments": ("gonomics_tpu.cli.overlap_enrichments",
                            "Enrichment/depletion p-values for overlaps"),
+    "vcfInfo": ("gonomics_tpu.cli.vcf_info",
+                "VCF summary statistics (types/divergence/context)"),
+    "sampleVcf": ("gonomics_tpu.cli.vcf_sampling:main_sample",
+                  "Random sample of VCF variants/samples"),
+    "proximityBlockVcf": ("gonomics_tpu.cli.vcf_sampling:main_proximity",
+                          "Distance-blocked variant sampling"),
+    "filterGenotypes": (
+        "gonomics_tpu.cli.vcf_sampling:main_filter_genotypes",
+        "Allele-specific genotype filter / sample subsetting"),
+    "vcfAncestorAnnotation": (
+        "gonomics_tpu.cli.vcf_sampling:main_ancestor",
+        "Add ancestral alleles to VCF INFO"),
+    "vcfAfs": ("gonomics_tpu.cli.vcf_sampling:main_afs",
+               "Allele frequency spectrum from a VCF"),
+    "haplotypeGenerator": ("gonomics_tpu.cli.vcf_sampling:main_haplotype",
+                           "Per-sample haplotype fastas for regions"),
 }
 
 

@@ -267,3 +267,87 @@ def parse_format(v: Vcf, meta: HeaderMeta) -> dict:
             vals.append(fd[i] if i < len(fd) else "")
         parsed[name] = _parse_value(v, vals, tag)
     return parsed
+
+
+# --- header sample-list + ancestor helpers (reference: vcf/header.go:359,
+#     vcf/vcfAncestor.go) ---
+
+def header_get_sample_list(header: Header) -> list[str]:
+    """vcf.HeaderGetSampleList (header.go:359)."""
+    for line in header.text:
+        if line.startswith("#CHROM"):
+            return line.split("\t")[9:]
+    raise SystemExit("No Sample info in VCF line, cannot parse sample "
+                     "names.")
+
+
+def header_update_sample_list(header: Header,
+                              new_samples: list[str]) -> Header:
+    """vcf.HeaderUpdateSampleList (header.go:371)."""
+    out = Header(text=list(header.text))
+    for i, line in enumerate(out.text):
+        if line.startswith("#CHROM"):
+            out.text[i] = "\t".join(line.split("\t")[:9] + new_samples)
+    return out
+
+
+def is_homozygous(s: Sample) -> bool:
+    """vcf.IsHomozygous: diploid sample with equal alleles."""
+    return (s.alleles is not None and len(s.alleles) == 2
+            and s.alleles[0] == s.alleles[1])
+
+
+def is_heterozygous(s: Sample) -> bool:
+    return (s.alleles is not None and len(s.alleles) == 2
+            and s.alleles[0] != s.alleles[1])
+
+
+def append_ancestor(v: Vcf, bases: str) -> Vcf:
+    """vcf.AppendAncestor (vcfAncestor.go:12)."""
+    v.info = (f"AA={bases}" if v.info == "."
+              else f"{v.info};AA={bases}")
+    return v
+
+
+def annotate_ancestor_from_multi_fa(v: Vcf, records, ref_start: int,
+                                    aln_start: int):
+    """vcf.AnnotateAncestorFromMultiFa (vcfAncestor.go:55)."""
+    from .. import dna
+    from . import fasta as fastaio
+
+    p = fastaio.ref_pos_to_aln_pos_counter(records[0], v.pos - 1,
+                                           ref_start, aln_start)
+    ref_seq = records[0].seq
+    anc_seq = records[1].seq
+    if p + 1 < len(ref_seq) and ref_seq[p + 1] == dna.GAP:
+        end = p + 1
+        while end < len(ref_seq) and ref_seq[end] == dna.GAP:
+            end += 1
+        allele = dna.to_string(anc_seq[p:end])
+    else:
+        allele = dna.to_string(anc_seq[p:p + 1])
+    v = append_ancestor(v, allele)
+    return v, v.pos - 1, p
+
+
+def ancestor_flag_to_header(header: Header) -> Header:
+    """vcf.AncestorFlagToHeader (vcfAncestor.go:79)."""
+    line = ('##INFO=<ID=AA,Number=1,Type=String,'
+            'Description="AncestralAllele">')
+    last_info = -1
+    first_format = -1
+    for i, txt in enumerate(header.text):
+        key = txt.split("=")[0]
+        if key == "##INFO":
+            last_info = i
+        if key == "##FORMAT" and first_format == -1:
+            first_format = i
+    out = list(header.text)
+    if last_info == -1:
+        if first_format == -1:
+            out.append(line)
+        else:
+            out.insert(first_format, line)
+    else:
+        out.insert(last_info + 1, line)
+    return Header(text=out)
