@@ -152,6 +152,17 @@ COMMANDS = {
                "Allele frequency spectrum from a VCF"),
     "haplotypeGenerator": ("gonomics_tpu.cli.vcf_sampling:main_haplotype",
                            "Per-sample haplotype fastas for regions"),
+    "selectionMle": ("gonomics_tpu.cli.popgen_tools:main_mle",
+                     "MLE of selection from a VCF AFS"),
+    "selectionMcmc": ("gonomics_tpu.cli.popgen_tools:main_mcmc",
+                      "MCMC posterior for selection parameters"),
+    "dunnIndex": ("gonomics_tpu.cli.popgen_tools:main_dunn",
+                  "Dunn index per bed region of a multiFa"),
+    "mcmcTraceStats": ("gonomics_tpu.cli.popgen_tools:main_trace_stats",
+                       "Summary statistics on an MCMC trace"),
+    "simulateWrightFisher": (
+        "gonomics_tpu.cli.popgen_tools:main_wright_fisher",
+        "Multiallelic Wright-Fisher simulation"),
 }
 
 

@@ -126,15 +126,13 @@ def vcf_afs(vcf_file: str, out_file: str, *, unpolarized: bool = False,
         for site in afs.sites:
             out.write(f"{site.i / site.n:f}\n")
     if plot_selection_likelihood:
-        all_n = sorted({site.n for site in afs.sites})
-        cache = popgen.build_binom_cache(all_n)
         with fileio.easy_create(plot_selection_likelihood) as out:
             out.write("Alpha\tLikelihood\n")
             for i in range(number_of_points + 1):
                 alpha = left_bound + (i / number_of_points) * (
                     right_bound - left_bound)
                 lik = popgen.afs_likelihood_fixed_alpha(
-                    afs, alpha, cache, integral_error)
+                    afs, alpha, integral_error)
                 out.write(f"{alpha:e}\t{lik:e}\n")
 
 

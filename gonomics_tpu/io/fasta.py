@@ -331,3 +331,30 @@ def bin_genome_no_breaks(genome: list[Fasta], bin_num: int,
                 size_smallest = sizes[i]
         bins[smallest].append(rec)
     return bins
+
+
+def copy_subset(records: list[Fasta], start: int, end: int) -> list[Fasta]:
+    """fasta.CopySubset (multiFa.go:109)."""
+    return [Fasta(r.name, np.array(np.asarray(r.seq)[start:end],
+                                   copy=True)) for r in records]
+
+
+def remove_missing_mult(records: list[Fasta]) -> list[Fasta]:
+    """fasta.RemoveMissingMult (multiFa.go:121): drop all-gap entries."""
+    return [r for r in records
+            if len(r.seq) and bool((np.asarray(r.seq) != dna.GAP).any())]
+
+
+def dist_column(records: list[Fasta]) -> list[Fasta]:
+    """fasta.DistColumn (multiFa.go:140): columns with no gaps or
+    lowercase bases in any sequence."""
+    mat = np.stack([np.asarray(r.seq) for r in records])
+    bad = (mat == dna.GAP) | ((mat >= dna.LOWER_A) & (mat <= dna.LOWER_N))
+    keep = ~bad.any(axis=0)
+    return [Fasta(r.name, mat[i][keep]) for i, r in enumerate(records)]
+
+
+def num_segregating_sites(records: list[Fasta]) -> int:
+    """fasta.NumSegregatingSites (multiFa.go:225)."""
+    segregating = segregating_sites_fasta(records)
+    return len(segregating[0].seq) if segregating else 0

@@ -64,8 +64,9 @@ def _f_integrand(n: int, k: int, alpha: float, binom_coeff: float):
 def adaptive_simpsons_log(f, a: float, b: float, error_threshold: float,
                           max_depth: int) -> float:
     """numbers.AdaptiveSimpsonsLog (integrate.go:209), literal recursion."""
-    LOG4 = 1.386294
-    LOG15 = 2.70805
+    LOG4 = 1.386294  # the reference's rounded constants
+    LOG15 = 2.70805  # (integrate.go:166-168)
+    LOG_HALF = -0.6931472
 
     def helper(a, b, midpoint, fa, fb, fm, whole, err_thresh, depth):
         h = (b - a) / 2
@@ -81,14 +82,18 @@ def adaptive_simpsons_log(f, a: float, b: float, error_threshold: float,
         right = logspace.multiply(log_h6, logspace.add(
             logspace.add(fm, logspace.multiply(LOG4, frm)), fb))
         halves = logspace.add(left, right)
+        # exact-equality falls through to recursion (integrate.go:192-202)
         if halves > whole:
             delta = logspace.subtract(halves, whole)
-        else:
+            if delta <= logspace.multiply(LOG15, err_thresh):
+                return logspace.add(logspace.add(left, right),
+                                    logspace.divide(delta, LOG15))
+        elif whole > halves:
             delta = logspace.subtract(whole, halves)
-        if delta <= logspace.multiply(LOG15, err_thresh):
-            return logspace.add(logspace.add(left, right),
-                                logspace.divide(delta, LOG15))
-        half_err = logspace.multiply(err_thresh, math.log(0.5))
+            if delta <= logspace.multiply(LOG15, err_thresh):
+                return logspace.add(logspace.add(left, right),
+                                    logspace.divide(delta, LOG15))
+        half_err = logspace.multiply(err_thresh, LOG_HALF)
         return logspace.add(
             helper(a, midpoint, lm, fa, fm, flm, left, half_err, depth - 1),
             helper(midpoint, b, rm, fm, fb, frm, right, half_err, depth - 1))
@@ -190,6 +195,8 @@ def vcf_to_afs(filename: str, unpolarized: bool = False,
         if seg.i == 0 or seg.i == seg.n:
             raise ValueError("variant is nonsegregating")
         if not unpolarized and has_aa:
+            # sites without AA annotations pass through unpolarized,
+            # like VcfSampleToSegSite (stationarity.go:134)
             is_ref_anc = aa == v.ref.upper()
             is_alt_anc = aa == v.alt[0].upper()
             if is_ref_anc and divergence_ascertainment:
@@ -200,8 +207,6 @@ def vcf_to_afs(filename: str, unpolarized: bool = False,
                     seg.l = 2
             elif not is_ref_anc:
                 continue
-        elif not unpolarized:
-            raise ValueError("polarized AFS requires AA annotations")
         afs.sites.append(seg)
     return afs
 
@@ -285,3 +290,183 @@ def wright_fisher_sim(pop_size: int, generations: int, s: float = 0.0,
     keys = jax.random.split(jax.random.PRNGKey(seed), generations)
     _, traj = jax.lax.scan(step, jnp.float32(init_freq), keys)
     return traj
+
+
+# --- groups + Dunn index (reference: popgen/group.go, popgen/dunn.go) ---
+
+@dataclass
+class Group:
+    name: str
+    members: list[str] = field(default_factory=list)
+
+
+def read_groups(filename: str) -> list[Group]:
+    """popgen.ReadGroups (group.go:19)."""
+    from . import fileio
+
+    groups: list[Group] = []
+    for line in fileio.read(filename):
+        if line.startswith(">"):
+            groups.append(Group(line[1:]))
+        else:
+            groups[-1].members.append(line)
+    return groups
+
+
+def filter_mult_by_group(aln, groups: list[Group]):
+    """popgen.FilterMultByGroup (group.go:139)."""
+    return [rec for rec in aln
+            if any(rec.name in g.members for g in groups)]
+
+
+def find_missing_group_members(aln, groups: list[Group]) -> str:
+    """popgen.FindMissingGroupMembers (group.go:118)."""
+    present = {rec.name for rec in aln}
+    answer = "Missing: "
+    for g in groups:
+        answer += g.name + ": "
+        for member in g.members:
+            if member not in present:
+                answer += member + ", "
+    return answer
+
+
+def dunn(b, aln, groups: list[Group], realign: bool = False):
+    """popgen.Dunn (dunn.go:13): (dunn index, segregating sites,
+    missing-members string) for a bed region of a multiFa."""
+    from .align import DEFAULT, multi
+    from .io import fasta as fastaio
+
+    aln_pos = fastaio.ref_pos_to_aln_pos(aln[0], b.chrom_start)
+    aln_end = fastaio.ref_pos_to_aln_pos(aln[0], b.chrom_end)
+    tmp = fastaio.copy_subset(aln, aln_pos, aln_end)
+    if realign:
+        tmp2 = fastaio.remove_gaps(tmp)
+        tmp2 = filter_mult_by_group(tmp2, groups)
+        tmp3 = multi.all_seq_affine(tmp2, DEFAULT, -400, -30)
+    else:
+        tmp2 = fastaio.remove_missing_mult(tmp)
+        tmp3 = filter_mult_by_group(tmp2, groups)
+    if not tmp3:
+        return -1.0, 0, ""
+    sub_fa = fastaio.dist_column(tmp3)
+    missing = find_missing_group_members(sub_fa, groups)
+    fa_map = {r.name: r.seq for r in sub_fa}
+
+    from . import dna as dnamod
+    max_intra = 0
+    for g in groups:
+        for i in range(len(g.members)):
+            for j in range(i + 1, len(g.members)):
+                if g.members[i] in fa_map and g.members[j] in fa_map:
+                    max_intra = max(max_intra, dnamod.dist(
+                        fa_map[g.members[i]], fa_map[g.members[j]]))
+    min_inter = float("inf")
+    for mi in groups[0].members:
+        for mj in groups[1].members:
+            if mi in fa_map and mj in fa_map:
+                min_inter = min(min_inter, dnamod.dist(fa_map[mi],
+                                                       fa_map[mj]))
+    return (min_inter / max_intra,
+            fastaio.num_segregating_sites(sub_fa), missing)
+
+
+# --- Metropolis-Hastings MCMC for selection (popgen/mcmcSelection.go) ---
+
+@dataclass
+class McmcSettings:
+    iterations: int = 100
+    mu_step: float = 0.2
+    mu_zero: float = 0.0
+    sigma_step: float = 0.2
+    sigma_zero: float = 1.0
+    unpolarized: bool = False
+    divergence_ascertainment: bool = False
+    fixed_sigma: bool = False
+    d: int = 1
+    integral_error: float = 1e-7
+    sigma_prior_alpha: float = 2.0
+    sigma_prior_beta: float = 10.0
+    mu_prior_mean: float = 0.0
+    mu_prior_sigma: float = 3.0
+    include_ref: bool = False
+
+
+def afs_likelihood(afs: Afs, alphas, binom_cache,
+                   integral_error: float) -> float:
+    """popgen.AfsLikelihood (stationarity.go:216): per-site alphas."""
+    answer = 0.0
+    for site, alpha in zip(afs.sites, alphas):
+        answer += allele_frequency_probability(
+            site.i, site.n, alpha, binom_cache, integral_error)
+    return answer
+
+
+def _prior_prob(mu: float, sigma: float, s: McmcSettings) -> float:
+    from .numbers import distributions as dist
+
+    if sigma < 0:
+        return float("-inf")
+    sigma_prior = dist.gamma_dist(sigma, s.sigma_prior_alpha,
+                                  s.sigma_prior_beta)
+    mu_prior = dist.normal_dist(mu, s.mu_prior_mean, s.mu_prior_sigma)
+    return math.log(mu_prior * sigma_prior) \
+        if mu_prior * sigma_prior > 0 else float("-inf")
+
+
+def metropolis_hastings(data: Afs, out_file: str, s: McmcSettings,
+                        rng) -> None:
+    """popgen.MetropolisHastings (mcmcSelection.go:139) with numpy RNG
+    (Go math/rand stream not reproducible; trace is per-seed stable)."""
+    from . import fileio
+
+    all_n = sorted({site.n for site in data.sites})
+    cache = build_binom_cache(all_n)
+
+    def likelihood(alphas):
+        return afs_likelihood(data, alphas, cache, s.integral_error)
+
+    mu, sigma = s.mu_zero, s.sigma_zero
+    alphas = rng.normal(mu, sigma, len(data.sites))
+    prior = _prior_prob(mu, sigma, s)
+    if prior == float("-inf"):
+        raise SystemExit("Initial theta set is too overdispersed to have "
+                         "a finite prior density in logSpace.")
+    lik = likelihood(alphas)
+
+    with fileio.easy_create(out_file) as out:
+        out.write("Iteration\tMu\tSigma\tAccept\n")
+        for it in range(s.iterations):
+            sigma_prime = (sigma if s.fixed_sigma
+                           else rng.normal(sigma, s.sigma_step))
+            mu_prime = rng.normal(mu, s.mu_step)
+            alphas_prime = rng.normal(mu_prime, abs(sigma_prime),
+                                      len(data.sites)) \
+                if sigma_prime >= 0 else alphas
+            prior_prime = _prior_prob(mu_prime, sigma_prime, s)
+            lik_prime = (float("-inf") if prior_prime == float("-inf")
+                         else likelihood(alphas_prime))
+            if prior_prime == float("-inf") or lik_prime == float("-inf"):
+                p_accept = float("-inf")
+            else:
+                p_accept = (lik_prime - lik) + (prior_prime - prior)
+            accept = p_accept > math.log(rng.random())
+            if accept:
+                mu, sigma, alphas = mu_prime, sigma_prime, alphas_prime
+                prior, lik = prior_prime, lik_prime
+            out.write(f"{it}\t{mu:e}\t{sigma:e}\t"
+                      f"{'true' if accept else 'false'}\n")
+
+
+def selection_maximum_likelihood_estimate(data: Afs, *,
+                                          left: float = -10.0,
+                                          right: float = 10.0,
+                                          error: float = 1e-5,
+                                          integral_error: float = 1e-7) \
+        -> float:
+    """popgen.SelectionMaximumLikelihoodEstimate
+    (maximumLikelihood.go:21)."""
+    def f(alpha: float) -> float:
+        return afs_likelihood_fixed_alpha(data, alpha, integral_error)
+
+    return golden_section_max_search(f, left, right, error)
