@@ -163,6 +163,13 @@ COMMANDS = {
     "simulateWrightFisher": (
         "gonomics_tpu.cli.popgen_tools:main_wright_fisher",
         "Multiallelic Wright-Fisher simulation"),
+    "oboTools": ("gonomics_tpu.cli.ontology_tools:main_obo_tools",
+                 "OBO manipulation (mapping subcommand)"),
+    "gafFilter": ("gonomics_tpu.cli.ontology_tools:main_gaf_filter",
+                  "Filter GAF annotation records"),
+    "ontologyEnrichment": (
+        "gonomics_tpu.cli.ontology_tools:main_ontology_enrichment",
+        "GREAT-style GO-term enrichment over 1D/3D space"),
 }
 
 
