@@ -170,6 +170,12 @@ COMMANDS = {
     "ontologyEnrichment": (
         "gonomics_tpu.cli.ontology_tools:main_ontology_enrichment",
         "GREAT-style GO-term enrichment over 1D/3D space"),
+    "bedCountBam": ("gonomics_tpu.cli.bed_count_bam",
+                    "Read counts for bed regions from an indexed bam"),
+    "samInfo": ("gonomics_tpu.cli.sam_info",
+                "SAM/BAM statistics (readLength/coverage/mapq)"),
+    "samToWig": ("gonomics_tpu.cli.sam_to_wig",
+                 "Read coverage as wig"),
 }
 
 

@@ -187,43 +187,63 @@ def read_bam(filename: str):
     records: list[Sam] = []
     end = len(data)
     while off + 4 <= end:
-        blk = struct.unpack_from("<I", mv, off)[0]
-        off += 4
-        rec_end = off + blk
-        (ref_id, pos, l_read_name, mapq, _bin, n_cig, flag, l_seq,
-         next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHIiii", mv, off)
-        off += 32
-        s = Sam()
-        s.rname = refs[ref_id].name if ref_id != -1 else "*"
-        s.pos = pos + 1
-        s.mapq = mapq
-        s.flag = flag
-        s.rnext = refs[next_ref].name if next_ref != -1 else "*"
-        if s.rnext == s.rname and next_ref != -1:
-            s.rnext = "="
-        s.pnext = next_pos + 1
-        s.tlen = tlen
-        s.qname = bytes(mv[off:off + l_read_name - 1]).decode()
-        off += l_read_name
-        cigs = struct.unpack_from(f"<{n_cig}I", mv, off)
-        off += 4 * n_cig
-        s.cigar = [samcigar.CigarOp(c >> 4, samcigar.OP_TABLE[c & 0xF])
-                   for c in cigs]
-        n_packed = (l_seq + 1) // 2
-        s.seq = _decode_seq(bytes(mv[off:off + n_packed]), l_seq)
-        off += n_packed
-        qual = np.frombuffer(mv[off:off + l_seq], dtype=np.uint8)
-        off += l_seq
-        if l_seq > 0 and qual[0] == 0xFF:
-            s.qual = "*"
-        else:
-            s.qual = (qual + 33).tobytes().decode("latin-1")
-        # tag bytes kept raw; parsed lazily if ever needed
-        s.extra = ""
-        s._raw_tags = bytes(mv[off:rec_end])  # type: ignore[attr-defined]
-        off = rec_end
+        s, off = decode_bam_record(mv, off, refs)
         records.append(s)
     return header, refs, records
+
+
+def decode_bam_record(mv, off: int, refs: list[ChromInfo]):
+    """Decode one BAM alignment record starting at `off` (the 4-byte
+    block_size prefix); returns (Sam, next offset). Matches
+    sam.DecodeBam (bamRead.go:157-270)."""
+    blk = struct.unpack_from("<I", mv, off)[0]
+    off += 4
+    rec_end = off + blk
+    (ref_id, pos, l_read_name, mapq, _bin, n_cig, flag, l_seq,
+     next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHIiii", mv,
+                                                    off)
+    off += 32
+    s = Sam()
+    s.rname = refs[ref_id].name if ref_id != -1 else "*"
+    s.pos = pos + 1
+    s.mapq = mapq
+    s.flag = flag
+    s.rnext = refs[next_ref].name if next_ref != -1 else "*"
+    if s.rnext == s.rname and next_ref != -1:
+        s.rnext = "="
+    s.pnext = next_pos + 1
+    s.tlen = tlen
+    s.qname = bytes(mv[off:off + l_read_name - 1]).decode()
+    off += l_read_name
+    cigs = struct.unpack_from(f"<{n_cig}I", mv, off)
+    off += 4 * n_cig
+    s.cigar = [samcigar.CigarOp(c >> 4, samcigar.OP_TABLE[c & 0xF])
+               for c in cigs]
+    n_packed = (l_seq + 1) // 2
+    s.seq = _decode_seq(bytes(mv[off:off + n_packed]), l_seq)
+    off += n_packed
+    qual = np.frombuffer(mv[off:off + l_seq], dtype=np.uint8)
+    off += l_seq
+    if l_seq > 0 and qual[0] == 0xFF:
+        s.qual = "*"
+    else:
+        s.qual = (qual + 33).tobytes().decode("latin-1")
+    # tag bytes kept raw; parsed lazily if ever needed
+    s.extra = ""
+    s._raw_tags = bytes(mv[off:rec_end])  # type: ignore[attr-defined]
+    return s, rec_end
+
+
+def get_chrom_start(s: Sam) -> int:
+    """Sam.GetChromStart (methods.go:13)."""
+    return s.pos - 1
+
+
+def get_chrom_end(s: Sam) -> int:
+    """Sam.GetChromEnd (methods.go:17)."""
+    if not s.cigar or all(c.op == "*" for c in s.cigar):
+        return s.pos - 1
+    return s.pos - 1 + samcigar.reference_length(s.cigar)
 
 
 def read(filename: str):
