@@ -176,6 +176,15 @@ COMMANDS = {
                 "SAM/BAM statistics (readLength/coverage/mapq)"),
     "samToWig": ("gonomics_tpu.cli.sam_to_wig",
                  "Read coverage as wig"),
+    "simulateBed": ("gonomics_tpu.cli.simulate_tools:main_bed",
+                    "Random bed regions within a search space"),
+    "simulateVcf": ("gonomics_tpu.cli.simulate_tools:main_vcf",
+                    "Simulated VCF variants from an AFS"),
+    "simulateDivergentWindowsVcf": (
+        "gonomics_tpu.cli.simulate_tools:main_divergent_windows",
+        "Upper/lower divergence-percentile VCF windows"),
+    "simulatePcr": ("gonomics_tpu.cli.simulate_tools:main_pcr",
+                    "Predict PCR amplicon products"),
 }
 
 
