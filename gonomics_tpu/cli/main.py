@@ -185,6 +185,11 @@ COMMANDS = {
         "Upper/lower divergence-percentile VCF windows"),
     "simulatePcr": ("gonomics_tpu.cli.simulate_tools:main_pcr",
                     "Predict PCR amplicon products"),
+    "multiFaAcceleration": ("gonomics_tpu.cli.multi_fa_acceleration",
+                            "Windowed velocity/acceleration scores"),
+    "branchLengthsMultiFaBed": (
+        "gonomics_tpu.cli.branch_lengths_multi_fa_bed",
+        "Fitch-Margoliash branch lengths per bed region"),
 }
 
 
