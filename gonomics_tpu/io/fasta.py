@@ -259,6 +259,21 @@ def _present(seq: np.ndarray) -> np.ndarray:
     return np.asarray(seq) <= dna.T  # uppercase A,C,G,T codes are 0..3
 
 
+def scan_n(records: list[Fasta], query_name: str) -> list[tuple[int, int]]:
+    """fasta.ScanN (multiFa.go:353): positions of N in the query sequence,
+    reported as 1-base [start,end) spans in reference (records[0])
+    coordinates."""
+    query = np.asarray(records[find_sequence_index(records, query_name)].seq)
+    out: list[tuple[int, int]] = []
+    last_ref = last_aln = 0
+    for i in np.flatnonzero(query == dna.N):
+        start = aln_pos_to_ref_pos_counter(records[0], int(i),
+                                           last_ref, last_aln)
+        last_ref, last_aln = start, int(i)
+        out.append((start, start + 1))
+    return out
+
+
 def scan_present_base(records: list[Fasta], query: str) -> int:
     """fasta.ScanPresentBase (multiFa.go:376)."""
     return int(_present(records[find_sequence_index(records, query)].seq)

@@ -31,6 +31,19 @@ class Axt:
     r_seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
     q_seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
 
+    # interval protocol (axt/methods.go:7-17)
+    @property
+    def chrom(self) -> str:
+        return self.r_name
+
+    @property
+    def chrom_start(self) -> int:
+        return self.r_start - 1
+
+    @property
+    def chrom_end(self) -> int:
+        return self.r_end
+
 
 def read_axt_with_header(filename: str):
     """axt.ReadToChan analog: returns (records, '#' header lines)."""
@@ -78,6 +91,106 @@ def write_axt(filename: str, records: list[Axt]) -> None:
     with fileio.easy_create(filename) as f:
         for i, a in enumerate(records):
             f.write(axt_to_string(a, i))
+
+
+def swap_axt(a: Axt, t_len: int, q_len: int) -> None:
+    """axt.Swap (axt.go:156): exchange target/query, flipping minus-strand
+    coordinates onto the opposite strand."""
+    a.r_seq, a.q_seq = a.q_seq, a.r_seq
+    a.r_name, a.q_name = a.q_name, a.r_name
+    if not a.q_strand_pos:
+        r_start, r_end = q_len - a.q_end + 1, q_len - a.q_start + 1
+        q_start, q_end = t_len - a.r_end + 1, t_len - a.r_start + 1
+        a.r_start, a.r_end, a.q_start, a.q_end = r_start, r_end, q_start, q_end
+        a.r_seq = dna.reverse_complement(a.r_seq)
+        a.q_seq = dna.reverse_complement(a.q_seq)
+    else:
+        a.r_start, a.r_end, a.q_start, a.q_end = \
+            a.q_start, a.q_end, a.r_start, a.r_end
+    a.r_seq, a.q_seq = a.q_seq, a.r_seq
+
+
+def pair_seq_to_cigar(a: np.ndarray, b: np.ndarray):
+    """axt.PairSeqToCigar (axtToSam.go:36): =/X/I/D runs from a gapped
+    alignment pair (gap in target = I, gap in query = D)."""
+    from . import cigar as samcigar
+
+    a, b = np.asarray(a), np.asarray(b)
+    out: list[samcigar.CigarOp] = []
+    i = 0
+    while i < len(a):
+        if a[i] != dna.GAP and b[i] != dna.GAP:
+            op = "=" if a[i] == b[i] else "X"
+        elif a[i] == dna.GAP and b[i] != dna.GAP:
+            op = "I"
+        elif a[i] != dna.GAP and b[i] == dna.GAP:
+            op = "D"
+        else:
+            raise ValueError("gap aligned to gap")
+        j = i + 1
+        while j < len(a):
+            if op == "=" and not (a[j] == b[j] and a[j] != dna.GAP):
+                break
+            if op == "X" and not (a[j] != b[j] and a[j] != dna.GAP
+                                  and b[j] != dna.GAP):
+                break
+            if op == "I" and a[j] != dna.GAP:
+                break
+            if op == "D" and b[j] != dna.GAP:
+                break
+            j += 1
+        out.append(samcigar.CigarOp(run_length=j - i, op=op))
+        i = j
+    return out
+
+
+def axt_to_sam(a: Axt):
+    """axt.ToSam (axtToSam.go:14)."""
+    from . import sam as samio
+
+    q = np.asarray(a.q_seq)
+    return samio.Sam(
+        qname=a.q_name, flag=0 if a.q_strand_pos else 16, rname=a.r_name,
+        pos=a.r_start, mapq=255, cigar=pair_seq_to_cigar(a.r_seq, a.q_seq),
+        rnext="*", pnext=0, tlen=a.r_end - a.r_start, seq=q[q != dna.GAP],
+        qual="*", extra=f"AS:i:{a.score}\tXS:i:{a.q_start}\tXE:i:{a.q_end}")
+
+
+def _axt_ref_idx_range(a: Axt, chrom_start: int, chrom_end: int):
+    """lift.refCoordToRefIdx (lift.go:140): alignment-column span covering
+    a reference interval."""
+    r = np.asarray(a.r_seq)
+    start = 0
+    stop = 0
+    for i in range(len(r)):
+        if stop >= chrom_start - (a.r_start - 1):
+            break
+        if r[i] != dna.GAP:
+            stop += 1
+        start += 1
+    end, stop = start, 0
+    for i in range(start, len(r)):
+        if r[i] != dna.GAP:
+            stop += 1
+        end += 1
+        if stop >= chrom_end - chrom_start:
+            break
+    return start, end
+
+
+def axt_percent_identity_in_interval(a: Axt, chrom_start: int,
+                                     chrom_end: int) -> float:
+    """lift.AxtPercentIdentityInInterval (lift.go:212): matches / aligned
+    columns * 100, N-N pairs excluded from both counts."""
+    start, end = _axt_ref_idx_range(a, chrom_start, chrom_end)
+    r = dna.to_upper(np.asarray(a.r_seq)[start:end])
+    q = dna.to_upper(np.asarray(a.q_seq)[start:end])
+    eq = r == q
+    if bool((eq & (r == dna.GAP)).any()):
+        raise ValueError("Gaps aligned to each other")
+    aligned_n = int((eq & (r == dna.N)).sum())
+    c = int(eq.sum()) - aligned_n
+    return c / (end - start - aligned_n) * 100
 
 
 # ---------------------------------------------------------------------------

@@ -330,6 +330,14 @@ def gene_to_canonical_bed(g: Gene, sizes: dict[str, ChromInfo],
                      name=g.gene_name, fields_initialized=4)
 
 
+def genes_to_canonical_transcripts_tss_bed(
+        genes: dict[str, Gene],
+        sizes: dict[str, ChromInfo]) -> list[bedio.Bed]:
+    """gtf.GenesToCanonicalTranscriptsTssBed (convert.go:33): TSS of the
+    canonical (longest-CDS) transcript per gene."""
+    return [gene_to_canonical_bed(g, sizes, 0, 0) for g in genes.values()]
+
+
 def genes_to_first_two_codon_bases(genes: dict[str, Gene]) \
         -> list[bedio.Bed]:
     """gtf.GenesToBedFirstTwoCodonBases (convert.go:104)."""

@@ -254,6 +254,19 @@ def read(filename: str):
     return read_sam_text(filename)
 
 
+def generate_header(chroms: list[ChromInfo],
+                    additional: list[str] | None = None,
+                    sort_order: str = "unsorted",
+                    grouping: str = "") -> Header:
+    """sam.GenerateHeader (io.go:397): @HD + @SQ lines from chrom sizes."""
+    text = [f"@HD\tVN:1.6\tSO:{sort_order}"]
+    if grouping and grouping != "none":
+        text[0] += f"\tGO:{grouping}"
+    text.extend(f"@SQ\tSN:{c.name}\tLN:{c.size}" for c in chroms)
+    text.extend(additional or [])
+    return parse_header_text(text)
+
+
 def write_sam(filename: str, header: Header, records: list[Sam]) -> None:
     """Writes text SAM, or BGZF BAM when the filename ends in .bam."""
     if filename.endswith(".bam"):

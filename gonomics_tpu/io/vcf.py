@@ -81,12 +81,23 @@ def write_vcf(f: IO[str], record: Vcf) -> None:
     f.write(record.to_string() + "\n")
 
 
-def _parse_samples(fields: list[str]) -> list[Sample]:
+def _parse_samples(fields: list[str],
+                   fmt: list[str] | None = None) -> list[Sample]:
+    """vcf.parseSamples (io.go:95): genotypes parse only when the first
+    format key is GT; a '.' format yields no samples."""
+    if fmt is not None and (not fmt or fmt[0] == "."):
+        return []
+    has_gt = fmt is None or fmt[0] == "GT"
     out = []
     for s in fields:
         sm = Sample()
         data = s.split(":")
         gt = data[0]
+        if not has_gt:
+            sm.alleles = None
+            sm.format_data = list(data)
+            out.append(sm)
+            continue
         if gt in (".", "") or all(x == "." for x in
                                   gt.replace("|", "/").split("/")):
             sm.alleles = None
@@ -124,7 +135,7 @@ def process_vcf_line(line: str) -> Vcf:
             filter=f[6], info=f[7])
     if len(f) > 8:
         v.format = f[8].split(":")
-        v.samples = _parse_samples(f[9:])
+        v.samples = _parse_samples(f[9:], v.format)
     return v
 
 
