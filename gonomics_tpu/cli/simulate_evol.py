@@ -1,0 +1,149 @@
+"""simulateEvol — molecular evolution simulation suite: genic /
+withIndels / nonCoding (reference: cmd/simulateEvol/*.go).
+
+RNG streams are seeded numpy (COVERAGE.md limitation vs Go math/rand)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .. import dna, fileio, simulate
+from ..io import fasta as fastaio
+from ..phylo import etree as etreemod
+from ..phylo.etree import ETree, get_tree, read_newick, to_newick_string
+
+
+def genic(tree_file: str, in_file: str, out_file: str, *, set_seed: int = 1,
+          sim_out_file: str = "", gene_pred_file: str = "") -> None:
+    rng = np.random.default_rng(set_seed)
+    tree = etreemod.read_tree(tree_file, in_file)
+    simulate.simulate_genic(in_file, tree, gene_pred_file, True, rng)
+    nodes = get_tree(tree)
+    if sim_out_file:
+        fastaio.write(sim_out_file, [n.fasta for n in nodes])
+    fastaio.write(out_file, [n.fasta for n in nodes
+                             if n.left is None and n.right is None])
+
+
+def with_indels(in_file: str, out_file: str, *, lambda_: float = 1.0,
+                prop_indels: float = 0.2, branch_length: float = 0.1,
+                gc_content: float = 0.42, set_seed: int = 1,
+                q_name: str = "sim", vcf_out_file: str = "",
+                transition_bias: float = 1.0) -> None:
+    if not 0 <= prop_indels <= 1:
+        raise SystemExit("The propIndels option must be a value between 0 "
+                         "and 1.")
+    if not 0 <= gc_content <= 1:
+        raise SystemExit("GcContent must be a value between 0 and 1.")
+    if transition_bias < 0:
+        raise SystemExit("TransitionBias must be a nonnegative number.")
+    if not 0 <= branch_length <= 1:
+        raise SystemExit("The branchLength argument must be a value between "
+                         "0 and 1.")
+    rng = np.random.default_rng(set_seed)
+    out = simulate.with_indels(rng, in_file, branch_length, prop_indels,
+                               lambda_, gc_content, transition_bias,
+                               vcf_out_file, q_name)
+    fastaio.write(out_file, out)
+
+
+def non_coding(out_file: str, *, tree_file: str = "", fasta_file: str = "",
+               num_nodes: int = 11, gamma_alpha: float = 1.0,
+               gamma_beta: float = 20.0, gc_content: float = 0.42,
+               len_seq: int = 100, unit_branch_length: float = -1.0,
+               substitution_matrix_file: str = "", newick_out: str = "",
+               set_seed: int = 1) -> None:
+    rng = np.random.default_rng(set_seed)
+    if not 0 <= gc_content <= 1:
+        raise SystemExit(f"Error: GcContent must be a value between 0 and "
+                         f"1. Found: {gc_content}.")
+    if len_seq < 0:
+        raise SystemExit(f"Error: expected lenSeq to be a positive number. "
+                         f"Found: {len_seq}.")
+    if tree_file:
+        root = read_newick(tree_file)
+    else:
+        root = simulate.sim_etree(rng, num_nodes, gamma_alpha, gamma_beta)
+    if unit_branch_length < 0:
+        unit_branch_length = float(rng.gamma(gamma_alpha, 1.0 / gamma_beta))
+    if fasta_file:
+        records = fastaio.read(fasta_file)
+        if len(records) != 1:
+            raise SystemExit(f"Error: expected 1 sequence in the input "
+                             f"fasta file. Received: {len(records)}.")
+        records[0].seq = dna.to_upper(records[0].seq)
+        root.fasta = records[0]
+        root.name = "root"
+    else:
+        seq = np.array([simulate.choose_random_base(rng, gc_content)
+                        for _ in range(len_seq)], np.int8)
+        root.fasta = fastaio.Fasta("root", seq)
+    root = simulate.non_coding(root, substitution_matrix_file,
+                               unit_branch_length, rng)
+    fastaio.write(out_file, [n.fasta for n in get_tree(root)])
+    if newick_out:
+        with fileio.easy_create(newick_out) as f:
+            f.write(to_newick_string(root) + "\n")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="simulateEvol")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("genic")
+    g.add_argument("--setSeed", type=int, default=1)
+    g.add_argument("--completeSimOutput", default="")
+    g.add_argument("--genePred", default="")
+    g.add_argument("tree")
+    g.add_argument("input")
+    g.add_argument("output")
+
+    w = sub.add_parser("withIndels")
+    w.add_argument("--lambdaValue", type=float, default=1.0)
+    w.add_argument("--propIndel", type=float, default=0.2)
+    w.add_argument("--branchLength", type=float, default=0.1)
+    w.add_argument("--gcContent", type=float, default=0.42)
+    w.add_argument("--setSeed", type=int, default=1)
+    w.add_argument("--qName", default="sim")
+    w.add_argument("--vcfOutFile", default="")
+    w.add_argument("--transitionBias", type=float, default=1.0)
+    w.add_argument("input")
+    w.add_argument("output")
+
+    n = sub.add_parser("nonCoding")
+    n.add_argument("--treeFile", default="")
+    n.add_argument("--fastaFile", default="")
+    n.add_argument("--numNodes", type=int, default=11)
+    n.add_argument("--gammaAlpha", type=float, default=1.0)
+    n.add_argument("--gammaBeta", type=float, default=20.0)
+    n.add_argument("--gcContent", type=float, default=0.42)
+    n.add_argument("--lenSeq", type=int, default=100)
+    n.add_argument("--unitBranchLength", type=float, default=-1.0)
+    n.add_argument("--substitutionMatrix", default="")
+    n.add_argument("--newickOut", default="")
+    n.add_argument("--setSeed", type=int, default=1)
+    n.add_argument("output")
+
+    a = p.parse_args(argv)
+    if a.cmd == "genic":
+        genic(a.tree, a.input, a.output, set_seed=a.setSeed,
+              sim_out_file=a.completeSimOutput, gene_pred_file=a.genePred)
+    elif a.cmd == "withIndels":
+        with_indels(a.input, a.output, lambda_=a.lambdaValue,
+                    prop_indels=a.propIndel, branch_length=a.branchLength,
+                    gc_content=a.gcContent, set_seed=a.setSeed,
+                    q_name=a.qName, vcf_out_file=a.vcfOutFile,
+                    transition_bias=a.transitionBias)
+    elif a.cmd == "nonCoding":
+        non_coding(a.output, tree_file=a.treeFile, fasta_file=a.fastaFile,
+                   num_nodes=a.numNodes, gamma_alpha=a.gammaAlpha,
+                   gamma_beta=a.gammaBeta, gc_content=a.gcContent,
+                   len_seq=a.lenSeq, unit_branch_length=a.unitBranchLength,
+                   substitution_matrix_file=a.substitutionMatrix,
+                   newick_out=a.newickOut, set_seed=a.setSeed)
+
+
+if __name__ == "__main__":
+    main()

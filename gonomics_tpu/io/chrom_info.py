@@ -17,7 +17,7 @@ class ChromInfo:
 def read_to_slice(filename: str) -> list[ChromInfo]:
     out = []
     for i, line in enumerate(fileio.read(filename)):
-        f = line.split("\t")
+        f = line.split()  # strings.Fields (chromInfo.go:60)
         out.append(ChromInfo(f[0], int(f[1]), i))
     return out
 

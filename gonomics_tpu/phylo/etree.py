@@ -190,3 +190,20 @@ def populate_substitution_matrices(node: ETree, unit_matrix,
     if node.right is not None:
         populate_substitution_matrices(node.right, unit_matrix,
                                        unit_branch_length)
+
+
+def to_newick_string(node: ETree) -> str:
+    """expandedTree.ToNewickString (expandedTree.go:261): render via the
+    plain tree type's %f newick formatting."""
+    from . import simpletree
+
+    def convert(n: ETree | None):
+        if n is None:
+            return None
+        t = simpletree.Tree(name=n.name, only_topology=n.only_topology,
+                            branch_length=n.branch_length)
+        t.left = convert(n.left)
+        t.right = convert(n.right)
+        return t
+
+    return simpletree.to_string(convert(node))
