@@ -106,7 +106,21 @@ def _encode_tags(extra: str) -> bytes:
         elif typ == "A":
             out.append(ord("A"))
             out.append(ord(val[0]))
-        else:  # Z / H and anything else as NUL-terminated string
+        elif typ == "B":  # array: "B:X,v1,v2,..." (bamWrite.go:writeTriplet)
+            sub = val[0]
+            vals = val[2:].split(",") if len(val) > 2 else []
+            out.append(ord("B"))
+            out.append(ord(sub))
+            out.extend(struct.pack("<I", len(vals)))
+            fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H",
+                   "i": "<i", "I": "<I", "f": "<f"}[sub]
+            conv = float if sub == "f" else int
+            for v in vals:
+                out.extend(struct.pack(fmt, conv(v)))
+        elif typ == "H":
+            out.append(ord("H"))
+            out.extend(bytes.fromhex(val) + b"\x00")
+        else:  # Z and anything else as NUL-terminated string
             out.append(ord("Z"))
             out.extend(val.encode() + b"\x00")
     return bytes(out)

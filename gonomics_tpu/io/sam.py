@@ -54,6 +54,19 @@ class Sam:
                 f"{self.qual}")
         return base + (f"\t{self.extra}" if self.extra else "")
 
+    # interval.Interval methods (sam/methods.go:9-17)
+    @property
+    def chrom(self) -> str:
+        return self.rname
+
+    @property
+    def chrom_start(self) -> int:
+        return get_chrom_start(self)
+
+    @property
+    def chrom_end(self) -> int:
+        return get_chrom_end(self)
+
 
 # flag predicates (sam/flag.go)
 def is_paired(s: Sam) -> bool: return bool(s.flag & 1)
@@ -279,3 +292,116 @@ def write_sam(filename: str, header: Header, records: list[Sam]) -> None:
             f.write(line + "\n")
         for r in records:
             f.write(r.to_string() + "\n")
+
+
+# ---------------------------------------------------------------------------
+# BAM auxiliary tags (reference: sam/tag.go)
+
+def _f32_shortest(v: float) -> str:
+    """strconv.FormatFloat(float64(v), 'f', -1, 32): shortest positional
+    decimal that round-trips as float32 (tag.go:356,396)."""
+    return np.format_float_positional(np.float32(v), unique=True, trim="-")
+
+
+_TAG_SIZES = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+_TAG_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i",
+            "I": "<I", "f": "<f"}
+
+
+def _tags_to_text(raw: bytes) -> str:
+    """Decode BAM tag bytes → SAM text Extra, matching parseExtra +
+    parsedExtraToString (tag.go:132-404). Quirks reproduced: single
+    c/C/s/S values normalize to ':i:' text type; single 'A' (char)
+    tags are dropped (parsedExtraToString has no 'A' case)."""
+    parts: list[str] = []
+    off = 0
+    n = len(raw)
+    while off < n:
+        tag = raw[off:off + 2].decode("latin-1")
+        typ = chr(raw[off + 2])
+        off += 3
+        if typ == "B":
+            sub = chr(raw[off])
+            count = struct.unpack_from("<I", raw, off + 1)[0]
+            off += 5
+            vals = []
+            for _ in range(count):
+                if sub == "Z":
+                    end = raw.index(0, off)
+                    vals.append(raw[off:end].decode("latin-1"))
+                    off = end + 1
+                elif sub == "H":
+                    end = raw.index(0, off)
+                    vals.append(raw[off:end].decode("latin-1").lower())
+                    off = end + 1
+                elif sub == "f":
+                    vals.append(_f32_shortest(
+                        struct.unpack_from("<f", raw, off)[0]))
+                    off += 4
+                else:
+                    vals.append(str(struct.unpack_from(
+                        _TAG_FMT[sub], raw, off)[0]))
+                    off += _TAG_SIZES[sub]
+            parts.append(f"{tag}:B:{sub}," + ",".join(vals))
+        elif typ == "A":
+            off += 1  # dropped from text (tag.go:parsedExtraToString)
+        elif typ == "Z":
+            end = raw.index(0, off)
+            parts.append(f"{tag}:Z:" + raw[off:end].decode("latin-1"))
+            off = end + 1
+        elif typ == "H":
+            end = raw.index(0, off)
+            parts.append(f"{tag}:H:"
+                         + raw[off:end].decode("latin-1").lower())
+            off = end + 1
+        elif typ == "f":
+            parts.append(f"{tag}:f:" + _f32_shortest(
+                struct.unpack_from("<f", raw, off)[0]))
+            off += 4
+        else:
+            parts.append(f"{tag}:i:%d" % struct.unpack_from(
+                _TAG_FMT[typ], raw, off)[0])
+            off += _TAG_SIZES[typ]
+    return "\t".join(parts)
+
+
+def parse_extra(s: Sam) -> None:
+    """sam.ParseExtra (tag.go:42-55): materialize text Extra from raw
+    BAM tag bytes so the field can be modified; raw bytes discarded."""
+    raw = getattr(s, "_raw_tags", None)
+    if raw is not None:
+        s.extra = _tags_to_text(raw)
+        s._raw_tags = None  # type: ignore[attr-defined]
+
+
+def remove_tag(s: Sam, tag_id: str) -> None:
+    """sam.RemoveTag (tag.go:65-103)."""
+    if len(tag_id) != 2:
+        raise ValueError("input tagId must be 2 characters")
+    if s.extra == "":
+        parse_extra(s)
+    if s.extra.startswith(tag_id):
+        end = s.extra.find("\t")
+        s.extra = "" if end == -1 else s.extra[end + 1:]
+        return
+    start = s.extra.find("\t" + tag_id + ":")
+    if start == -1:
+        return
+    end = s.extra.find("\t", start + 1)
+    if end == -1:
+        end = len(s.extra)
+    s.extra = s.extra[:start] + s.extra[end:]
+
+
+def add_tag(s: Sam, tag_id: str, typ: str, val: str) -> None:
+    """sam.AddTag (tag.go:106-130)."""
+    if len(tag_id) != 2:
+        raise ValueError("input tagId must be 2 characters")
+    if typ not in ("A", "i", "f", "Z", "H", "B"):
+        raise ValueError("input type must be one of A,i,f,Z,H,B")
+    if s.extra == "":
+        parse_extra(s)
+    if s.extra == "":
+        s.extra = f"{tag_id}:{typ}:{val}"
+    else:
+        s.extra = f"{s.extra}\t{tag_id}:{typ}:{val}"
