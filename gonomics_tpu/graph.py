@@ -96,6 +96,57 @@ def write(filename: str, g: GenomeGraph, line_length: int = 50) -> None:
                 f.write("\n")
 
 
+def get_sort_order(g: GenomeGraph) -> list[int]:
+    """genomeGraph.GetSortOrder (sort.go:17): Kahn BFS per contiguous
+    subgraph. The reference seeds each wave from Go map iteration
+    (nondeterministic); here ascending node id, which matches the
+    reference's own expected order in cmd/sortGraph/sortGraph_test.go."""
+    order: list[int] = []
+    visited = [False] * len(g.nodes)
+    for root in g.nodes:
+        if root.prev or visited[root.id]:
+            continue
+        # traceGraph (sort.go:104): collect this contiguous subgraph.
+        members: list[int] = [root.id]
+        visited[root.id] = True
+        stack = [root.id]
+        while stack:
+            nid = stack.pop()
+            for e in g.nodes[nid].next:
+                if not visited[e.dest]:
+                    visited[e.dest] = True
+                    members.append(e.dest)
+                    stack.append(e.dest)
+        in_degree = {m: len(g.nodes[m].prev) for m in members}
+        wave = [m for m in sorted(members) if in_degree[m] == 0]
+        k = 0
+        while k < len(wave):
+            nid = wave[k]
+            k += 1
+            order.append(nid)
+            del in_degree[nid]
+            for e in g.nodes[nid].next:
+                in_degree[e.dest] -= 1
+                if in_degree[e.dest] == 0:
+                    wave.append(e.dest)
+    return order
+
+
+def sort_graph(g: GenomeGraph) -> GenomeGraph:
+    """genomeGraph.SortGraph (sort.go:4): renumber nodes into
+    topological order, remapping edge endpoints."""
+    order = get_sort_order(g)
+    remap = {orig: new for new, orig in enumerate(order)}
+    out = GenomeGraph()
+    for new, orig in enumerate(order):
+        n = g.nodes[orig]
+        out.nodes.append(Node(
+            id=new, seq=n.seq,
+            prev=[Edge(remap[e.dest], e.prob) for e in n.prev],
+            next=[Edge(remap[e.dest], e.prob) for e in n.next]))
+    return out
+
+
 def from_fasta(records) -> tuple[GenomeGraph, dict[int, str]]:
     """Build a linear graph (one node per fasta record, no edges) and a
     node->chrom-name map — the .fa reference path of cmd/gsw."""
