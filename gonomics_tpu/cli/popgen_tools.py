@@ -31,7 +31,8 @@ def selection_mle(in_file: str, out_file: str, *, left: float = -10,
         include_ref=include_ref)
     answer = popgen.selection_maximum_likelihood_estimate(
         data, left=left, right=right, error=error,
-        integral_error=integral_error)
+        integral_error=integral_error,
+        divergence_ascertainment=divergence_ascertainment)
     with fileio.easy_create(out_file) as out:
         out.write("#FILENAME\tMaximumLikelihood\n")
         out.write(f"{in_file}\t{answer:e}\n")

@@ -163,6 +163,135 @@ def afs_likelihood_fixed_alpha(afs: Afs, alpha: float,
     return ans
 
 
+# --- divergence-based ascertainment corrections (popgen/ascertainment.go) ---
+
+def build_f_cache(n: int, alpha: float, binom_cache,
+                  integral_error: float) -> list[float]:
+    """BuildFCache (ascertainment.go:12): log F(j | n, alpha) for j in 1..n-1."""
+    out = [0.0] * n
+    for j in range(1, n):
+        out[j] = afs_sample_density(n, j, alpha, binom_cache, integral_error)
+    return out
+
+
+def get_f_cache_sum(f_cache: list[float]) -> float:
+    """GetFCacheSum (ascertainment.go:21)."""
+    ans = NEG_INF
+    for j in range(1, len(f_cache)):
+        ans = logspace.add(ans, f_cache[j])
+    return ans
+
+
+def ancestral_ascertainment_probability(n: int, i: int, d: int) -> float:
+    """AncestralAscertainmentProbability (ascertainment.go:52)."""
+    return logspace.divide(binom_coefficient_log(n - i, d),
+                           binom_coefficient_log(n, d))
+
+
+def derived_ascertainment_probability(n: int, i: int, d: int) -> float:
+    """DerivedAscertainmentProbability (ascertainment.go:57)."""
+    return logspace.divide(binom_coefficient_log(i, d),
+                           binom_coefficient_log(n, d))
+
+
+def ancestral_ascertainment_denominator(f_cache, f_cache_sum: float,
+                                        d: int) -> float:
+    """AncestralAscertainmentDenominator (ascertainment.go:30)."""
+    ans = NEG_INF
+    for j in range(1, len(f_cache)):
+        ans = logspace.add(ans, logspace.multiply(
+            logspace.divide(f_cache[j], f_cache_sum),
+            ancestral_ascertainment_probability(len(f_cache), j, d)))
+    return ans
+
+
+def derived_ascertainment_denominator(f_cache, f_cache_sum: float,
+                                      d: int) -> float:
+    """DerivedAscertainmentDenominator (ascertainment.go:41)."""
+    ans = NEG_INF
+    for j in range(1, len(f_cache)):
+        ans = logspace.add(ans, logspace.multiply(
+            logspace.divide(f_cache[j], f_cache_sum),
+            derived_ascertainment_probability(len(f_cache), j, d)))
+    return ans
+
+
+def allele_frequency_probability_ancestral_ascertainment(
+        alpha: float, i: int, n: int, d: int, binom_cache,
+        integral_error: float = 1e-7) -> float:
+    """AlleleFrequencyProbabilityAncestralAscertainment (ascertainment.go:62)."""
+    f_cache = build_f_cache(n, alpha, binom_cache, integral_error)
+    f_sum = get_f_cache_sum(f_cache)
+    p_i = logspace.divide(f_cache[i], f_sum)
+    return logspace.divide(
+        logspace.multiply(p_i, ancestral_ascertainment_probability(n, i, d)),
+        ancestral_ascertainment_denominator(f_cache, f_sum, d))
+
+
+def allele_frequency_probability_derived_ascertainment(
+        alpha: float, i: int, n: int, d: int, binom_cache,
+        integral_error: float = 1e-7) -> float:
+    """AlleleFrequencyProbabilityDerivedAscertainment (ascertainment.go:71)."""
+    f_cache = build_f_cache(n, alpha, binom_cache, integral_error)
+    f_sum = get_f_cache_sum(f_cache)
+    p_i = logspace.divide(f_cache[i], f_sum)
+    return logspace.divide(
+        logspace.multiply(p_i, derived_ascertainment_probability(n, i, d)),
+        derived_ascertainment_denominator(f_cache, f_sum, d))
+
+
+# SegSite.l values (popgen.LikelihoodFunction: stationarity.go)
+UNCORRECTED, ANCESTRAL, DERIVED = 0, 1, 2
+
+
+def afs_divergence_ascertainment_fixed_alpha(
+        afs: Afs, alpha: float, d: int = 1,
+        integral_error: float = 1e-7) -> float:
+    """AfsDivergenceAscertainmentFixedAlpha (ascertainment.go:100): fixed-
+    alpha likelihood with per-site divergence ascertainment corrections."""
+    all_n = sorted({s.n for s in afs.sites})
+    binom_cache = build_binom_cache(all_n)
+    caches = {UNCORRECTED: {}, ANCESTRAL: {}, DERIVED: {}}
+    ans = 0.0
+    for s in afs.sites:
+        cache = caches[s.l]
+        key = (s.n, s.i)
+        if key not in cache:
+            if s.l == UNCORRECTED:
+                cache[key] = allele_frequency_probability(
+                    s.i, s.n, alpha, binom_cache, integral_error)
+            elif s.l == ANCESTRAL:
+                cache[key] = \
+                    allele_frequency_probability_ancestral_ascertainment(
+                        alpha, s.i, s.n, d, binom_cache, integral_error)
+            else:
+                cache[key] = \
+                    allele_frequency_probability_derived_ascertainment(
+                        alpha, s.i, s.n, d, binom_cache, integral_error)
+        ans = logspace.multiply(ans, cache[key])
+    return ans
+
+
+def afs_divergence_ascertainment_likelihood(
+        afs: Afs, alphas, binom_cache, d: int,
+        integral_error: float) -> float:
+    """AfsDivergenceAscertainmentLikelihood (ascertainment.go:81):
+    per-site alphas with ascertainment corrections."""
+    ans = 0.0
+    for s, alpha in zip(afs.sites, alphas):
+        if s.l == ANCESTRAL:
+            cur = allele_frequency_probability_ancestral_ascertainment(
+                alpha, s.i, s.n, d, binom_cache, integral_error)
+        elif s.l == DERIVED:
+            cur = allele_frequency_probability_derived_ascertainment(
+                alpha, s.i, s.n, d, binom_cache, integral_error)
+        else:
+            cur = allele_frequency_probability(
+                s.i, s.n, alpha, binom_cache, integral_error)
+        ans = logspace.multiply(ans, cur)
+    return ans
+
+
 def vcf_to_afs(filename: str, unpolarized: bool = False,
                divergence_ascertainment: bool = False,
                include_ref: bool = False) -> Afs:
@@ -423,8 +552,13 @@ def metropolis_hastings(data: Afs, out_file: str, s: McmcSettings,
     all_n = sorted({site.n for site in data.sites})
     cache = build_binom_cache(all_n)
 
-    def likelihood(alphas):
-        return afs_likelihood(data, alphas, cache, s.integral_error)
+    if s.divergence_ascertainment:
+        def likelihood(alphas):
+            return afs_divergence_ascertainment_likelihood(
+                data, alphas, cache, s.d, s.integral_error)
+    else:
+        def likelihood(alphas):
+            return afs_likelihood(data, alphas, cache, s.integral_error)
 
     mu, sigma = s.mu_zero, s.sigma_zero
     alphas = rng.normal(mu, sigma, len(data.sites))
@@ -462,11 +596,19 @@ def selection_maximum_likelihood_estimate(data: Afs, *,
                                           left: float = -10.0,
                                           right: float = 10.0,
                                           error: float = 1e-5,
-                                          integral_error: float = 1e-7) \
+                                          integral_error: float = 1e-7,
+                                          divergence_ascertainment:
+                                          bool = False,
+                                          d: int = 1) \
         -> float:
     """popgen.SelectionMaximumLikelihoodEstimate
     (maximumLikelihood.go:21)."""
-    def f(alpha: float) -> float:
-        return afs_likelihood_fixed_alpha(data, alpha, integral_error)
+    if divergence_ascertainment:
+        def f(alpha: float) -> float:
+            return afs_divergence_ascertainment_fixed_alpha(
+                data, alpha, d, integral_error)
+    else:
+        def f(alpha: float) -> float:
+            return afs_likelihood_fixed_alpha(data, alpha, integral_error)
 
     return golden_section_max_search(f, left, right, error)
