@@ -144,6 +144,27 @@ def merge_high_mem(records: list[Bed], merge_adjacent: int = -1,
     return out
 
 
+def merge_beds_keep_names_and_annotations(records: list[Bed]) -> list[Bed]:
+    """bed.MergeBedsKeepNamesAndAnnotations (compare.go:49): adjacent
+    overlapping records merge with comma-joined names, summed scores, and
+    the FIRST annotation duplicated per merge (reference quirk kept)."""
+    sort_by_coord(records)
+    i = 0
+    while i < len(records) - 1:
+        if not overlap(records[i], records[i + 1]):
+            i += 1
+        else:
+            records[i].chrom_start = min(records[i].chrom_start,
+                                         records[i + 1].chrom_start)
+            records[i].chrom_end = max(records[i].chrom_end,
+                                       records[i + 1].chrom_end)
+            records[i].score += records[i + 1].score
+            records[i].name += "," + records[i + 1].name
+            records[i].annotation.append(records[i].annotation[0])
+            del records[i + 1]
+    return records
+
+
 def trim(b: Bed, left: int, right: int) -> Bed:
     if left < 0 or right < 0:
         raise ValueError("trim values must be >= 0")

@@ -73,6 +73,16 @@ def write(filename: str, records: list[BedPe]) -> None:
             write_to_handle(f, r)
 
 
+def annotate_feet_dist(records: list[BedPe]) -> None:
+    """bedpe.AnnotateFeetDist (compare.go:33): append the |A.start -
+    B.start| distance as an annotation on the A foot."""
+    for r in records:
+        r.a.fields_initialized = 11
+        dist = max(r.a.chrom_start, r.b.chrom_start) \
+            - min(r.a.chrom_start, r.b.chrom_start)
+        r.a.annotation.append(str(dist))
+
+
 def contacts_to_midpoints(records: list[BedPe]) -> None:
     """bedpe.ContactsToMidpoints (modify.go:4): collapse both feet to
     1bp midpoints, clearing name/score."""
