@@ -65,6 +65,85 @@ def gamma_dist(x: float, alpha: float, beta: float) -> float:
         / math.exp(math.lgamma(alpha))
 
 
+def negative_binomial_log_dist(k: int, r: float, p: float) -> float:
+    """numbers.NegativeBinomialDist with logOutput=true
+    (distribution.go:39): log P(X == k) with successes r, success prob p."""
+    coeff = logspace.divide(math.lgamma(k + r),
+                            logspace.multiply(math.lgamma(k + 1),
+                                              math.lgamma(r)))
+    f = logspace.pow_(math.log(1.0 - p), float(k))
+    s = logspace.pow_(math.log(p), r)
+    return logspace.multiply(coeff, logspace.multiply(f, s))
+
+
+# incomplete beta machinery (reference: numbers/incompleteBeta.go,
+# constants from randBeta.go:16-18)
+REL_ERROR = 1.0e-8
+SMALL = 1.0e-30
+MAX_ITERATIONS = 200
+
+
+def _go_gamma(x: float) -> float:
+    """Go math.Gamma: +Inf on overflow instead of raising."""
+    try:
+        return math.gamma(x)
+    except OverflowError:
+        return math.inf
+
+
+def _go_log(x: float) -> float:
+    return math.nan if math.isnan(x) else \
+        (math.log(x) if x > 0 else
+         (-math.inf if x == 0 else math.nan))
+
+
+def _go_exp(x: float) -> float:
+    if math.isnan(x):
+        return math.nan
+    try:
+        return math.exp(x)
+    except OverflowError:
+        return math.inf
+
+
+def regularized_incomplete_beta(a: float, b: float, x: float) -> float:
+    """numbers.RegularizedIncompleteBeta (incompleteBeta.go:16):
+    Lentz continued-fraction evaluation."""
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - regularized_incomplete_beta(b, a, 1.0 - x)
+    # Go math.Gamma overflows to +Inf (BetaFunc, distribution.go:101);
+    # Inf/Inf -> NaN propagates through log/exp exactly as the reference.
+    log_beta = _go_log(_go_gamma(a) * _go_gamma(b) / _go_gamma(a + b))
+    front = _go_exp(math.log(x) * a + math.log(1.0 - x) * b - log_beta) / a
+    f, c, d = 1.0, 1.0, 0.0
+    for i in range(MAX_ITERATIONS + 1):
+        m = float(i // 2)
+        if i == 0:
+            numerator = 1.0
+        elif i % 2 == 0:
+            numerator = (m * (b - m) * x) / ((a + 2.0 * m - 1.0)
+                                             * (a + 2.0 * m))
+        else:
+            numerator = -((a + m) * (a + b + m) * x) / ((a + 2.0 * m)
+                                                        * (a + 2.0 * m + 1))
+        d = 1.0 + numerator * d
+        if abs(d) < SMALL:
+            d = SMALL
+        d = 1.0 / d
+        c = 1.0 + numerator / c
+        if abs(c) < SMALL:
+            c = SMALL
+        f *= c * d
+        if abs(1.0 - (c * d)) < REL_ERROR:
+            return front * (f - 1.0)
+    raise ArithmeticError("incomplete beta failed to converge")
+
+
+def negative_binomial_cdf(x: float, r: float, p: float) -> float:
+    """numbers.NegativeBinomialCdf (incompleteBeta.go:10)."""
+    return regularized_incomplete_beta(r, x + 1, p)
+
+
 def poisson_left_summation(k: int, lam: float) -> float:
     """P(X <= k)."""
     return math.fsum(poisson_dist(i, lam) for i in range(0, k + 1))
