@@ -26,11 +26,10 @@ def plot(f, left: float, right: float, bins: int, out_file: str) -> None:
 
 def plot_binom_coefficient(n: int, out_file: str) -> None:
     """numbers.PlotBinomCoefficient (plot.go:27)."""
-    from .popgen_tools import _go_v
     with fileio.easy_create(out_file) as out:
         out.write("i\tProbability\n")
         for i in range(1, n):
-            out.write(f"{i}\t{_go_v(binom_coefficient_log(n, i))}\n")
+            out.write(f"{i}\t{fileio.go_v(binom_coefficient_log(n, i))}\n")
 
 
 def plot_afs_f(alpha: float, n: int, out_file: str,
@@ -138,6 +137,13 @@ def main(argv=None) -> None:
     args = a.args
     kind = args[0]
 
+    def need(want: int):
+        # the reference errors on wrong arg counts before indexing
+        # (plotFunctions.go usage checks); avoid a raw IndexError here
+        if len(args) != want:
+            raise SystemExit(f"Error: {kind} expects {want} arguments, "
+                             f"but got {len(args)}")
+
     def split3(spec, want):
         words = spec.split(",")
         if len(words) != want:
@@ -147,24 +153,29 @@ def main(argv=None) -> None:
 
     if kind in ("AfsProbability", "AfsProbabilityAncestral",
                 "AfsProbabilityDerived"):
+        need(3)
         w = split3(args[1], 3)
         plot_afs_pmf(float(w[0]), int(w[1]), args[2], float(w[2]),
                      derived=kind.endswith("Derived"),
                      ancestral=kind.endswith("Ancestral"))
     elif kind in ("AscertainmentProbabilityDerived",
                   "AscertainmentProbabilityAncestral"):
+        need(3)
         w = split3(args[1], 2)
         plot_ascertainment_probability(args[2], int(w[0]), int(w[1]),
                                        derived=kind.endswith("Derived"))
     elif kind in ("AncestralAscertainmentDenominator",
                   "DerivedAscertainmentDenominator"):
+        need(3)
         w = split3(args[1], 4)
         plot_ascertainment_denominator(
             args[2], int(w[0]), int(w[1]), float(w[2]), float(w[3]),
             derived=kind.startswith("Derived"))
     elif kind == "ChooseN":
+        need(3)
         plot_binom_coefficient(int(args[1]), args[2])
     elif kind == "AfsF":
+        need(3)
         w = split3(args[1], 3)
         plot_afs_f(float(w[0]), int(w[1]), args[2], float(w[2]))
     else:

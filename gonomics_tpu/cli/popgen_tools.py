@@ -103,10 +103,7 @@ def mcmc_trace_stats(in_file: str, out_file: str,
                   f"{start:f}\t{end:f}\n")
 
 
-def _go_v(x: float) -> str:
-    """Go %v float formatting (shortest round-trip)."""
-    s = repr(float(x))
-    return s[:-2] if s.endswith(".0") else s
+from ..fileio import go_v as _go_v  # Go %v float formatting
 
 
 def simulate_wright_fisher(out_file: str, *, pop_size: int = 100,

@@ -36,9 +36,7 @@ def _total_depth(p: pileup.Pile, count_n: bool) -> int:
     return depth
 
 
-def _go_v(x: float) -> str:
-    s = repr(float(x))
-    return s[:-2] if s.endswith(".0") else s
+from ..fileio import go_v as _go_v
 
 
 def coverage(sam_file: str, hist_out: str, stats_out: str, *,

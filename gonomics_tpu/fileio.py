@@ -97,3 +97,9 @@ def are_equal_ignore_order(a: str, b: str) -> bool:
 
 def must_remove(path: str) -> None:
     os.remove(path)
+
+
+def go_v(x: float) -> str:
+    """Go fmt %v float formatting (shortest round-trip repr)."""
+    s = repr(float(x))
+    return s[:-2] if s.endswith(".0") else s

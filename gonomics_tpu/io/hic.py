@@ -23,10 +23,19 @@ def process_straw_line(line: str) -> Straw:
 
 
 def read_to_iter(filename: str) -> Iterator[Straw]:
-    """hic.GoReadToChan analog: stream Straw records."""
+    """hic.GoReadToChan analog: stream Straw records.
+
+    Mirrors hic.Read (hic.go:31): only the FIRST line uses the
+    comment-skipping reader (EasyNextRealLine); after that every line is
+    taken verbatim (EasyNextLine), so a mid-file '#' line is parsed (and
+    fails) rather than silently skipped."""
     with fileio.easy_open(filename) as f:
-        for line in fileio.real_lines(f):
-            yield process_straw_line(line)
+        first = fileio.next_real_line(f)
+        if first is None:
+            return
+        yield process_straw_line(first)
+        for line in f:
+            yield process_straw_line(line.rstrip("\n"))
 
 
 def read(filename: str) -> list[Straw]:
