@@ -36,7 +36,31 @@ def measure_baseline() -> float:
     return float(out.stdout.strip())
 
 
-def measure_tpu(B: int = 256, L: int = 1024) -> float:
+def check_compiled_parity(B: int = 8, L: int = 96) -> None:
+    """Compiled-TPU kernel scores must equal the numpy oracle before any
+    timing (a miscompile must not ship a fast-but-wrong number)."""
+    import numpy as np
+    import jax
+
+    from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
+    from gonomics_tpu.align import oracle
+    from gonomics_tpu.ops.wavefront import wavefront_align
+
+    rng = np.random.default_rng(7)
+    alpha = rng.integers(0, 4, (B, L)).astype(np.int8)
+    beta = rng.integers(0, 4, (B, L)).astype(np.int8)
+    fin = np.full((B, 1), 2 * L, np.int32)
+    res = np.asarray(jax.device_get(wavefront_align(
+        alpha, beta, fin, HUMAN_CHIMP_TWO, n=L, m=L,
+        gap_open=-600, gap_extend=-150, with_trace=False, mode="affine")))
+    got = res[:, L]  # cell (n, m) lives at s=n on diagonal n+m
+    for b in range(B):
+        want, _ = oracle.affine_gap(alpha[b], beta[b], HUMAN_CHIMP_TWO,
+                                    -600, -150)
+        assert got[b] == want, f"device/oracle mismatch: {got[b]} != {want}"
+
+
+def measure_tpu(B: int = 256, L: int = 1024, with_trace: bool = False) -> float:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -54,7 +78,9 @@ def measure_tpu(B: int = 256, L: int = 1024) -> float:
         for _ in range(k):
             res = wavefront_align(alpha, beta, fin, HUMAN_CHIMP_TWO, n=L, m=L,
                                   gap_open=-600, gap_extend=-150,
-                                  with_trace=False, mode="affine")
+                                  with_trace=with_trace, mode="affine")
+            if with_trace:
+                res = res[0]
             # data dependency serializes successive kernel calls on-device
             alpha = jnp.clip(jnp.abs(res[:, :L]) % 4, 0, 3).astype(jnp.int8)
         return res
@@ -66,7 +92,7 @@ def measure_tpu(B: int = 256, L: int = 1024) -> float:
         np.asarray(chain(k, alpha))
         return time.perf_counter() - t0
 
-    short, long_ = 2, 34
+    short, long_ = (2, 10) if with_trace else (2, 34)
     t_short = min(timed(short) for _ in range(3))
     t_long = min(timed(long_) for _ in range(3))
     dt = (t_long - t_short) / (long_ - short)
@@ -113,10 +139,69 @@ def measure_reads_per_s(B: int = 2048, L: int = 150,
     return best
 
 
+def measure_multichip_virtual() -> dict:
+    """Sharded-vs-single equality + reads/s on an 8-device VIRTUAL CPU
+    mesh (subprocess; pallas interpreted — a correctness/scaling-shape
+    check, not silicon perf). Real multi-chip hardware is unavailable on
+    this machine (BASELINE.md)."""
+    code = r"""
+import os, sys, time
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS","")
+    + " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from gonomics_tpu import dna
+from gonomics_tpu.io.fasta import Fasta
+from gonomics_tpu.io.fastq import Fastq
+from gonomics_tpu.parallel import make_mesh
+from gonomics_tpu.tpu_align import TpuReadAligner
+
+rng = np.random.default_rng(0)
+genome = rng.integers(0, 4, 50000).astype(np.int8)
+B, L = 128, 100
+reads = []
+for i in range(B):
+    s = int(rng.integers(0, len(genome) - L))
+    seq = genome[s:s + L].copy()
+    seq[int(rng.integers(0, L))] = (seq[int(rng.integers(0, L))] + 1) % 4
+    if i % 2:
+        seq = dna.reverse_complement(seq).astype(np.int8)
+    reads.append(Fastq(f"r{i}", seq, np.full(L, 30, np.uint8)))
+
+def rps(mesh):
+    al = TpuReadAligner([Fasta("chr1", genome)], mesh=mesh)
+    out = al.align_batch(reads)  # warm-up/compile
+    t0 = time.perf_counter()
+    out = al.align_batch(reads)
+    return [s.to_string() for s in out], B / (time.perf_counter() - t0)
+
+single, r1 = rps(None)
+sharded, r8 = rps(make_mesh(8, data=8, seq=1))
+print("EQUAL" if single == sharded else "DIFFER", round(r1), round(r8))
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        tok = out.stdout.strip().split("\n")[-1].split()
+        return {"sharded_equals_single": tok[0] == "EQUAL",
+                "reads_per_s_1dev_virtual_cpu": int(tok[1]),
+                "reads_per_s_8dev_virtual_cpu": int(tok[2])}
+    except (IndexError, ValueError):
+        return {"sharded_equals_single": False,
+                "error": out.stderr.strip()[-300:]}
+
+
 def main() -> None:
     base = measure_baseline()
+    check_compiled_parity()
     tpu = measure_tpu()
+    # B=256 with trace overflows VMEM (3 result rows + trace block buffers
+    # on top of the 6 scratch rows); 128 pairs fit
+    tpu_trace = measure_tpu(B=128, with_trace=True)
     rps = measure_reads_per_s()
+    multi = measure_multichip_virtual()
     out = {
         "metric": "affine_gap_gcups",
         "value": round(tpu / 1e9, 2),
@@ -125,8 +210,12 @@ def main() -> None:
         "baseline_gcups": round(base / 1e9, 3),
         "baseline": "single-thread C++ Gotoh (Go-reference class), this host",
         "config": "B=256 pairs, 1024x1024, humanChimpTwo, score-only",
+        "trace_gcups": round(tpu_trace / 1e9, 2),
+        "trace_config": "B=128, 1024x1024, with traceback (BASELINE cfg 2)",
+        "compiled_parity": "device scores == numpy oracle (B=8, L=96)",
         "reads_per_s_1chip": round(rps),
         "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM",
+        "multichip": multi,
     }
     print(json.dumps(out))
 

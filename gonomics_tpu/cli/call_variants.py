@@ -273,7 +273,7 @@ def get_variant(exp: list[Pile], norm: list[Pile], header: samio.Header,
 def call_variants(experimental_files: list[str], normal_files: list[str],
                   ref_file: str, out_file: str, max_p=0.001, min_af=0.01,
                   max_af=1.0, max_strand_bias=0.9, min_coverage=10,
-                  min_mapq=10, min_alt_reads=1) -> None:
+                  min_mapq=10, min_alt_reads=1, mesh=None) -> None:
     out = fileio.easy_create(out_file)
     vcfio.new_write_header(
         out, make_output_header(experimental_files + normal_files))
@@ -288,7 +288,8 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
         if not header.text:
             raise SystemExit("ERROR: sam/bam files must have headers")
         headers.append(header)
-        sample_piles.append(pileup(reads, header, read_filters, pile_filters))
+        sample_piles.append(pileup(reads, header, read_filters, pile_filters,
+                                   mesh=mesh))
 
     ref_chroms = headers[0].chroms
     for h in headers[1:]:
@@ -324,13 +325,21 @@ def main(argv=None) -> None:
     p.add_argument("-minAltReads", type=int, default=1)
     p.add_argument("-r", required=True, help="Indexed reference fasta")
     p.add_argument("-o", default="stdout")
+    p.add_argument("--mesh", action="store_true",
+                   help="run the pileup scatter-add sharded over all "
+                        "local devices (data x seq mesh, psum-merged)")
     a = p.parse_args(argv)
     if not a.exp:
         raise SystemExit("ERROR: must declare at least 1 experimental "
                          "sample with -i")
+    mesh = None
+    if a.mesh:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
     call_variants(a.exp, a.norm, a.r, "-" if a.o == "stdout" else a.o,
                   a.p, a.minAF, a.maxAF, a.maxStrandBias, a.minCoverage,
-                  a.minMapQ, a.minAltReads)
+                  a.minMapQ, a.minAltReads, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -39,30 +39,73 @@ def _select_matrix(name: str):
 
 
 def _align_tpu(args) -> None:
-    """Batched TPU engine (tpu_align.py): .fa references, SAM output."""
-    from ..io.sam import Header
+    """Batched TPU engine (tpu_align.py): .fa references, SAM output.
+
+    --mesh shards each batch data-parallel over all local devices.
+    --multihost initializes jax.distributed (TPU pod auto-detect): each
+    process owns the round-robin batches b with b % nprocs == pid, writes
+    them to <out>.shard<pid> with batch markers, and process 0 merges the
+    shards back into canonical read order — byte-identical to one host
+    (the deterministic merge of SURVEY.md P3; the reference's analog is
+    goroutine fan-in, cmd/gsw/pairedEndFastqs.go:24-35)."""
+    import jax
+
     from ..tpu_align import TpuReadAligner
 
+    mesh = None
+    if args.multihost:
+        from ..parallel import init_distributed
+
+        init_distributed()
+    if args.mesh or args.multihost:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(data=len(jax.devices()), seq=1)
+
     records = fasta.read(args.files[0])
-    al = TpuReadAligner(records)
-    out = fileio.easy_create(args.out)
-    for line in al.header().text:
-        out.write(line + "\n")
+    al = TpuReadAligner(records, mesh=mesh)
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    sharded_out = nproc > 1
+    out_path = f"{args.out}.shard{pid}" if sharded_out else args.out
+    out = fileio.easy_create(out_path)
+    if not sharded_out:
+        for line in al.header().text:
+            out.write(line + "\n")
+
+    def emit(sams) -> None:
+        for s in sams:
+            out.write(s.to_string() + "\n")
+        if sharded_out:
+            out.write("#BATCH\n")
+
     if len(args.files) == 3:
         r1 = fastqio.read(args.files[1])
         r2 = fastqio.read(args.files[2])
-        for i in range(0, len(r1), args.batch):
-            sams = al.align_pairs(list(zip(r1[i:i + args.batch],
-                                           r2[i:i + args.batch])))
-            for s in sams:
-                out.write(s.to_string() + "\n")
+        for bi, i in enumerate(range(0, len(r1), args.batch)):
+            if sharded_out and bi % nproc != pid:
+                continue
+            emit(al.align_pairs(list(zip(r1[i:i + args.batch],
+                                         r2[i:i + args.batch]))))
     else:
         reads = fastqio.read(args.files[1])
-        for i in range(0, len(reads), args.batch):
-            for s in al.align_batch(reads[i:i + args.batch]):
-                out.write(s.to_string() + "\n")
-    if args.out not in ("-", "/dev/stdout", "stdout"):
+        for bi, i in enumerate(range(0, len(reads), args.batch)):
+            if sharded_out and bi % nproc != pid:
+                continue
+            emit(al.align_batch(reads[i:i + args.batch]))
+    if out_path not in ("-", "/dev/stdout", "stdout"):
         out.close()
+    if sharded_out:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("gsw_shards_written")
+        if pid == 0:
+            from ..parallel import merge_shard_files
+
+            merge_shard_files(
+                args.out,
+                [f"{args.out}.shard{p}" for p in range(nproc)],
+                header_lines=al.header().text)
 
 
 def align_cmd(args) -> None:
@@ -110,6 +153,131 @@ def align_cmd(args) -> None:
         out.close()
 
 
+def _filter_vcf_pos(vcfs):
+    """gsw filterVcfPos (cmd/gsw/chainHelper.go:100): sort, dedupe by
+    position per chromosome keeping the first record, drop records whose
+    ref/alt bases contain N. Chromosomes iterate in first-seen order (the
+    reference iterates a Go map — nondeterministic there)."""
+    from ..io import vcf as vcfio
+
+    vcfs = list(vcfs)
+    vcfio.sort(vcfs)
+    by_chrom: dict[str, list] = {}
+    for v in vcfs:
+        by_chrom.setdefault(v.chrom, []).append(v)
+    answer = []
+    for chrom in by_chrom:
+        encountered = set()
+        for v in by_chrom[chrom]:
+            if v.pos in encountered:
+                continue
+            encountered.add(v.pos)
+            from .. import dna
+
+            ref = dna.from_string(v.ref)
+            contains_n = (ref == dna.N).any()
+            for alt in v.alt:
+                if (dna.from_string(alt) == dna.N).any():
+                    contains_n = True
+            if not contains_n:
+                answer.append(v)
+    return answer
+
+
+def _axts_to_vcfs(axts):
+    """workThreadAxtVcf (chainHelper.go:85): per-block filterVcfPos then
+    drop records containing N characters."""
+    from ..io.formats import axt_to_vcf
+
+    out = []
+    for a in axts:
+        for v in _filter_vcf_pos(axt_to_vcf(a)):
+            if "N" not in v.ref and "N" not in v.alt[0]:
+                out.append(v)
+    return out
+
+
+def _chains_to_axts(chain_file: str, target_fa: str, query_fa: str):
+    """goChainToAxt (chainHelper.go:40): chain blocks + chromosome seqs
+    -> axt records (chain.GoReadSeqChain + chain.ToAxt)."""
+    from ..io.formats import chain_to_axt, read_chain
+
+    chains, _ = read_chain(chain_file)
+    tmap = {r.name: r.seq for r in fasta.read(target_fa)}
+    qmap = {r.name: r.seq for r in fasta.read(query_fa)}
+    return [chain_to_axt(c, tmap[c.t_name], qmap[c.q_name]) for c in chains]
+
+
+def _vcf_to_genome_graph(vcf_file: str, fa_file: str):
+    """vcfToGenomeGraph (cmd/gsw/vcfHelper.go:10)."""
+    from ..io import vcf as vcfio
+
+    records, _ = vcfio.read(vcf_file)
+    by_chrom: dict[str, list] = {}
+    for v in records:
+        by_chrom.setdefault(v.chrom, []).append(v)
+    return graphmod.variant_graph(fasta.read(fa_file), by_chrom)
+
+
+def ggtools_cmd(args) -> None:
+    """gsw ggtools (cmd/gsw/ggTools.go RunGgTools): create and convert
+    genome graphs from chain / vcf / axt inputs."""
+    from ..io import vcf as vcfio
+    from ..io.formats import (axt_to_string, is_axt_file, is_chain_file,
+                              read_axt)
+
+    in_file = args.input
+    if is_chain_file(in_file):
+        if not args.target or not args.query:
+            raise SystemExit("Error: Must specify both target and query "
+                             "fasta files...")
+        axts = _chains_to_axts(in_file, args.target, args.query)
+        if args.format == "axt":
+            with fileio.easy_create(args.out) as f:
+                for a in axts:
+                    # the reference never increments its idx counter
+                    # (ggTools.go:66-70): every block is written as 0
+                    f.write(axt_to_string(a, 0))
+        elif args.format == "vcf":
+            with fileio.easy_create(args.out) as f:
+                vcfio.new_write_header(f, vcfio.new_header())
+                for v in _axts_to_vcfs(axts):
+                    vcfio.write_vcf(f, v)
+        elif args.format == "gg":
+            by_chrom: dict[str, list] = {}
+            for v in _axts_to_vcfs(axts):
+                by_chrom.setdefault(v.chrom, []).append(v)
+            g = graphmod.variant_graph(fasta.read(args.target), by_chrom)
+            graphmod.write(args.out, g)
+        else:
+            raise SystemExit(f"unsupported chain output format: "
+                             f"{args.format}")
+    elif vcfio.is_vcf_file(in_file):
+        if not args.target:
+            raise SystemExit("Error: Must specify target reference fasta "
+                             "file...")
+        graphmod.write(args.out, _vcf_to_genome_graph(in_file, args.target))
+    elif is_axt_file(in_file):
+        axts = read_axt(in_file)
+        if args.format == "vcf":
+            ans = _axts_to_vcfs(axts)
+            vcfio.sort(ans)
+            with fileio.easy_create(args.out) as f:
+                vcfio.new_write_header(f, vcfio.new_header())
+                for v in ans:
+                    vcfio.write_vcf(f, v)
+        elif args.format == "gg":
+            by_chrom = {}
+            for v in _axts_to_vcfs(axts):
+                by_chrom.setdefault(v.chrom, []).append(v)
+            g = graphmod.variant_graph(fasta.read(args.target), by_chrom)
+            graphmod.write(args.out, g)
+        else:
+            raise SystemExit(f"unsupported axt output format: {args.format}")
+    else:
+        raise SystemExit(f"unrecognized input file type: {in_file}")
+
+
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     p = argparse.ArgumentParser(prog="gsw")
@@ -129,9 +297,27 @@ def main(argv=None) -> None:
                          "tpu: batched device aligner (SAM, .fa refs)")
     al.add_argument("--batch", type=int, default=2048,
                     help="TPU engine batch size")
+    al.add_argument("--mesh", action="store_true",
+                    help="tpu engine: shard batches data-parallel over "
+                         "all local devices")
+    al.add_argument("--multihost", action="store_true",
+                    help="tpu engine: jax.distributed multi-host run; "
+                         "process 0 merges shard outputs canonically")
+    gg = sub.add_parser("ggtools", help="Genomic utilities to create, "
+                        "manipulate and operate on genome graphs")
+    gg.add_argument("input", help="input file [.chain/.vcf/.axt]")
+    gg.add_argument("-t", "--target", default="",
+                    help="Target reference fasta file")
+    gg.add_argument("-q", "--query", default="",
+                    help="Query fasta file (chain inputs)")
+    gg.add_argument("-f", "--format", default="",
+                    help="Output format for conversions [axt/vcf/gg]")
+    gg.add_argument("-o", "--out", default="/dev/stdout")
     a = p.parse_args(argv)
     if a.cmd == "align":
         align_cmd(a)
+    elif a.cmd == "ggtools":
+        ggtools_cmd(a)
 
 
 if __name__ == "__main__":

@@ -159,6 +159,244 @@ def from_fasta(records) -> tuple[GenomeGraph, dict[int, str]]:
 
 
 # ---------------------------------------------------------------------------
+# VCF -> variant-graph construction (genomeGraph/graphTools.go:13-345)
+# ---------------------------------------------------------------------------
+
+def _is_inv(v) -> bool:
+    """isINV (graphTools.go:224)."""
+    data = v.info.split(";")
+    return (v.alt and v.alt[0] == "<INV>") or \
+        (data and data[0] == "SVTYPE=INV")
+
+
+def _is_dup(v) -> bool:
+    return "SVTYPE=DUP" in v.info
+
+
+def _is_cnv(v) -> bool:
+    return "SVTYPE=CNV" in v.info
+
+
+def _is_haplotype_block(v) -> bool:
+    """isHaplotypeBlock (graphTools.go:326)."""
+    return ("SVTYPE=SNP;INS" in v.info or "SVTYPE=SNP;DEL" in v.info
+            or "SVTYPE=HAP" in v.info)
+
+
+def _get_sv_end(v) -> int:
+    """getSvEnd (graphTools.go:246): END= tag of PBSV-style records."""
+    if "END=" not in v.info:
+        raise ValueError("Error: Vcf might not be from PBSV...")
+    for word in v.info.split(";"):
+        if "END=" in word:
+            return int(word.split("END=")[1])
+    return 0
+
+
+class _Builder:
+    """vChrGraph's pointer dance with an explicit sentinel.
+
+    The reference threads edges through zero-value *Node sentinels
+    (graphTools.go:56-57) whose Next edges are later bridged onto real
+    nodes; their reciprocal Prev edges would make node 0 rootless and
+    break the reference's own topological sort (sort.go:46-50), so here
+    the sentinel's Prev side is simply never recorded — the sorted graph
+    keeps every node."""
+
+    def __init__(self, g: GenomeGraph):
+        self.g = g
+
+    def new_sentinel(self) -> Node:
+        return Node(id=-1)
+
+    def add_node(self, node: Node) -> Node:
+        assert node.id == len(self.g.nodes)
+        self.g.nodes.append(node)
+        return node
+
+    def add_edge(self, u: Node, v: Node, prob: float) -> None:
+        u.next.append(Edge(v.id, prob))
+        if u.id >= 0:
+            v.prev.append(Edge(u.id, prob))
+
+    def set_even_weights(self, u: Node) -> None:
+        if u.next:
+            w = float(np.float32(1) / np.float32(len(u.next)))
+            for e in u.next:
+                e.prob = w
+
+
+def variant_graph(records, vcf_map: dict) -> GenomeGraph:
+    """genomeGraph.VariantGraph (graphTools.go:13): fasta + per-chrom
+    sorted VCFs -> variant graph (SNP/INS/DEL/INV/DUP/CNV/HAP nodes),
+    topologically sorted."""
+    from .io import vcf as vcfio
+
+    g = GenomeGraph()
+    for rec in records:
+        filter_vcf = vcf_map.get(rec.name, [])
+        if filter_vcf:
+            filter_vcf = list(filter_vcf)
+            vcfio.sort(filter_vcf)
+            _vchr_graph(g, rec.name, rec.seq, filter_vcf)
+        else:
+            g.nodes.append(Node(id=len(g.nodes),
+                                seq=np.asarray(rec.seq, np.int8)))
+    return sort_graph(g)
+
+
+def _vchr_graph(genome: GenomeGraph, chrom_name: str, chr_seq, vcfs_chr):
+    """vChrGraph (graphTools.go:50-196), ported with the same control flow
+    (see _Builder for the one documented divergence)."""
+    from .io import vcf as vcfio
+
+    b = _Builder(genome)
+    vcfs = list(vcfs_chr) + [vcfio.Vcf(chrom=chrom_name, pos=len(chr_seq))]
+    chr_seq = dna.to_upper(np.asarray(chr_seq)).astype(np.int8)
+
+    def by_id(e: Edge) -> Node:
+        return genome.nodes[e.dest]
+
+    curr = b.new_sentinel()
+    last = b.new_sentinel()
+    ref_allele = b.new_sentinel()
+    alt_allele = b.new_sentinel()
+    index = 0
+    n = len(vcfs)
+    i = 0
+    while i < n - 1:
+        v = vcfs[i]
+        if v.chrom != chrom_name:
+            raise ValueError("Error: chromosome names do not match...")
+        if v.pos - index > 0:
+            curr = Node(id=len(genome.nodes),
+                        seq=chr_seq[index:v.pos - 1].copy())
+            if len(curr.seq) == 0:
+                curr = last
+                # the ref allele exists from the previous iteration; only
+                # alt alleles are created here (graphTools.go:69-97)
+                if vcfio.snp(v):
+                    alt_allele = b.add_node(Node(
+                        id=len(genome.nodes), seq=dna.from_string(v.alt[0])))
+                    b.add_edge(curr, alt_allele, 0.5)
+                elif vcfio.ins(v):
+                    node = b.add_node(Node(
+                        id=len(genome.nodes),
+                        seq=dna.from_string(v.alt[0])[1:]))
+                    b.add_edge(curr, node, 1)
+                    index = v.pos - 1
+                elif vcfio.dele(v):
+                    node = b.add_node(Node(
+                        id=len(genome.nodes),
+                        seq=dna.from_string(v.ref)[1:]))
+                    b.add_edge(curr, node, 1)
+                    if "pbsv" in v.id:
+                        index = min(v.pos + len(node.seq) - 1,
+                                    vcfs[i + 1].pos - 1)
+                    else:
+                        index = v.pos + len(node.seq)
+                elif _is_haplotype_block(v):
+                    # Go shadows altAllele with := here — the outer
+                    # variable is deliberately NOT updated
+                    hap_alt = b.add_node(Node(
+                        id=len(genome.nodes), seq=dna.from_string(v.alt[0])))
+                    b.add_edge(curr, hap_alt, 1)
+                    index = v.pos + len(ref_allele.seq) - 1
+                last = curr
+            else:
+                curr = b.add_node(curr)
+                if len(last.next) > 0:
+                    for e in list(last.next):
+                        b.add_edge(by_id(e), curr, 1)
+                if i > 0 and (vcfio.snp(vcfs[i - 1])
+                              or _is_haplotype_block(vcfs[i - 1])):
+                    b.add_edge(alt_allele, curr, 1)
+                b.add_edge(last, curr, 1)
+                b.set_even_weights(last)
+
+                if vcfio.snp(v):
+                    ref_allele = b.add_node(Node(
+                        id=len(genome.nodes), seq=dna.from_string(v.ref)))
+                    b.add_edge(curr, ref_allele, 0.5)
+                    alt_allele = b.add_node(Node(
+                        id=len(genome.nodes), seq=dna.from_string(v.alt[0])))
+                    b.add_edge(curr, alt_allele, 0.5)
+                    curr = ref_allele
+                    index = v.pos
+                    # merge runs of adjacent SNPs (graphTools.go:123-134)
+                    j = i + 1
+                    while j < n - 1:
+                        if vcfio.snp(vcfs[j - 1]) and vcfio.snp(vcfs[j]) \
+                                and vcfs[j].pos - 1 == vcfs[j - 1].pos:
+                            ref_allele.seq = np.concatenate(
+                                [ref_allele.seq,
+                                 dna.from_string(vcfs[j].ref)])
+                            alt_allele.seq = np.concatenate(
+                                [alt_allele.seq,
+                                 dna.from_string(vcfs[j].alt[0])])
+                            index = vcfs[j].pos
+                            j += 1
+                        else:
+                            last = curr
+                            i = j - 1
+                            break
+                elif vcfio.ins(v):
+                    node = b.add_node(Node(
+                        id=len(genome.nodes), seq=dna.from_string(v.alt[0])))
+                    b.add_edge(curr, node, 1)
+                    index = v.pos - 1
+                elif vcfio.dele(v):
+                    node = b.add_node(Node(
+                        id=len(genome.nodes), seq=dna.from_string(v.ref)))
+                    b.add_edge(curr, node, 1)
+                    if "pbsv" in v.id:
+                        index = min(v.pos + len(node.seq) - 1,
+                                    vcfs[i + 1].pos - 1)
+                    else:
+                        index = v.pos + len(node.seq)
+                elif _is_inv(v):
+                    curr.seq = np.concatenate(
+                        [curr.seq, dna.from_string(v.ref)])
+                    inv_seq = dna.reverse_complement(
+                        chr_seq[v.pos:_get_sv_end(v)]).astype(np.int8)
+                    node = b.add_node(Node(id=len(genome.nodes),
+                                           seq=inv_seq))
+                    b.add_edge(curr, node, 1)
+                    index = _get_sv_end(v)
+                elif _is_cnv(v) or _is_dup(v):
+                    curr.seq = np.concatenate(
+                        [curr.seq, dna.from_string(v.ref)])
+                    node = b.add_node(Node(
+                        id=len(genome.nodes),
+                        seq=chr_seq[v.pos:_get_sv_end(v)].copy()))
+                    b.add_edge(curr, node, 1)
+                    index = _get_sv_end(v)
+                elif _is_haplotype_block(v):
+                    ref_allele = b.add_node(Node(
+                        id=len(genome.nodes), seq=dna.from_string(v.ref)))
+                    b.add_edge(curr, ref_allele, 1)
+                    alt_allele = b.add_node(Node(
+                        id=len(genome.nodes), seq=dna.from_string(v.alt[0])))
+                    b.add_edge(curr, alt_allele, 1)
+                    index = min(v.pos + len(ref_allele.seq) - 1,
+                                vcfs[i + 1].pos - 1)
+                    curr = ref_allele
+                last = curr
+        i += 1
+
+    # last node: remaining chromosome tail (graphTools.go:181-192)
+    last_node = b.add_node(Node(id=len(genome.nodes),
+                                seq=chr_seq[index:].copy()))
+    for e in list(last.next):
+        b.add_edge(by_id(e), last_node, 1)
+    if vcfio.snp(vcfs[n - 2]) or _is_haplotype_block(vcfs[n - 2]):
+        b.add_edge(alt_allele, last_node, 1)
+    b.add_edge(last, last_node, 1)
+    b.set_even_weights(last)
+    return genome
+
+
+# ---------------------------------------------------------------------------
 # k-mer seed index (genomeGraph/index.go:21-57)
 # ---------------------------------------------------------------------------
 

@@ -156,6 +156,148 @@ def axt_to_sam(a: Axt):
         qual="*", extra=f"AS:i:{a.score}\tXS:i:{a.q_start}\tXE:i:{a.q_end}")
 
 
+def _axt_info(a: Axt) -> str:
+    """axt info tag (axt/callSnps.go:21): Go %t prints true/false."""
+    strand = "true" if a.q_strand_pos else "false"
+    return (f"{a.r_name};{a.r_start};{a.r_end};{a.q_name};{a.q_start};"
+            f"{a.q_end};{strand};{a.score}")
+
+
+def _b2s_upper(base: int) -> str:
+    return dna.to_string(dna.to_upper(np.array([base], np.int8)))
+
+
+def axt_to_vcf(a: Axt) -> list:
+    """axt.ToVcf (callSnps.go:28): SNP/INS/DEL records from one axt block.
+
+    Faithful port including the reference's quirks: insertions carry
+    SVTYPE=SNP in Info and are appended twice (the dedup happens
+    downstream in gsw's filterVcfPos), and the SVTYPE=SNP;INS/'DEL'
+    rewrite branch compares Info to the bare string "SVTYPE=SNP" (never
+    equal to the query=...-prefixed tags, so it is dead in practice)."""
+    from . import vcf as vcfio
+
+    answer: list = []
+    rs, qs = np.asarray(a.r_seq), np.asarray(a.q_seq)
+    rs_u, qs_u = dna.to_upper(rs), dna.to_upper(qs)
+    n = len(rs)
+    r_count = a.r_start - 1
+    q_count = a.q_start - 1
+    i = 0
+    while i < n:
+        if rs[i] != dna.GAP and qs[i] != dna.GAP:
+            r_count += 1
+            q_count += 1
+            if rs_u[i] != qs_u[i]:
+                answer.append(vcfio.Vcf(
+                    chrom=a.r_name, pos=r_count, id=a.q_name,
+                    ref=_b2s_upper(rs[i]), alt=[_b2s_upper(qs[i])],
+                    qual=30, filter="PASS",
+                    info=f"query={q_count};SVTYPE=SNP;{_axt_info(a)}"))
+        if rs[i] == dna.GAP:
+            if i == 0:
+                raise IndexError("axt alignment begins with a target gap")
+            q_count += 1
+            curr = vcfio.Vcf(
+                chrom=a.r_name, pos=r_count, id=a.q_name,
+                ref=_b2s_upper(rs[i - 1]), alt=[_b2s_upper(qs[i - 1])],
+                qual=24, filter="PASS",
+                info=f"query={q_count};SVTYPE=SNP;{_axt_info(a)}")
+            j = i
+            while j < n:
+                if rs_u[j] == dna.GAP:
+                    curr.alt[0] += _b2s_upper(qs[j])
+                    q_count += 1
+                    j += 1
+                else:
+                    if not answer:
+                        answer.append(curr)
+                    elif answer[-1].pos == curr.pos and \
+                            answer[-1].info == "SVTYPE=SNP":
+                        curr.info = "SVTYPE=SNP;INS"
+                        answer[-1] = curr
+                    else:
+                        answer.append(curr)
+                    answer.append(curr)  # reference double-append
+                    i = j - 1
+                    break
+        if qs[i] == dna.GAP:
+            if i == 0:
+                raise IndexError("axt alignment begins with a query gap")
+            temp_r = 0
+            curr = vcfio.Vcf(
+                chrom=a.r_name, pos=r_count, id=a.q_name,
+                ref=_b2s_upper(rs[i - 1]), alt=[_b2s_upper(qs[i - 1])],
+                qual=24, filter="PASS",
+                info=f"query={q_count};SVTYPE=DEL;{_axt_info(a)}")
+            j = i
+            while j < n:
+                if qs_u[j] == dna.GAP:
+                    curr.ref += _b2s_upper(rs[j])
+                    temp_r += 1
+                    j += 1
+                else:
+                    if not answer:
+                        answer.append(curr)
+                    elif answer[-1].pos == curr.pos and \
+                            answer[-1].info == "SVTYPE=SNP":
+                        curr.info = "SVTYPE=SNP;DEL"
+                        answer[-1] = curr
+                    else:
+                        answer.append(curr)
+                    r_count += temp_r
+                    i = j - 1
+                    break
+        i += 1
+    return answer
+
+
+def chain_to_axt(ch: "Chain", target: np.ndarray,
+                 query: np.ndarray) -> Axt:
+    """chain.ToAxt (chain/toAxt.go:21): expand a chain's block list into
+    the gapped axt sequences using the chromosome sequences."""
+    ans = Axt(r_name=ch.t_name, r_start=ch.t_start + 1, r_end=ch.t_end,
+              q_name=ch.q_name, q_start=ch.q_start + 1, q_end=ch.q_end,
+              q_strand_pos=ch.q_strand, score=ch.score)
+    t = np.array(target, np.int8, copy=True)
+    q = np.array(query, np.int8, copy=True)
+    if not ch.t_strand and ch.q_strand:
+        t = dna.reverse_complement(t).astype(np.int8)
+        q = dna.reverse_complement(q).astype(np.int8)
+    elif ch.t_strand and not ch.q_strand:
+        q = dna.reverse_complement(q).astype(np.int8)
+    elif not ch.t_strand and not ch.q_strand:
+        t = dna.reverse_complement(t).astype(np.int8)
+    r_parts, q_parts = [], []
+    ti, qi = ch.t_start, ch.q_start
+    for blk in ch.alignment:
+        r_parts.append(t[ti:ti + blk.size])
+        q_parts.append(q[qi:qi + blk.size])
+        ti += blk.size
+        qi += blk.size
+        if blk.t_bases > 0:
+            r_parts.append(t[ti:ti + blk.t_bases])
+            q_parts.append(np.full(blk.t_bases, dna.GAP, np.int8))
+            ti += blk.t_bases
+        if blk.q_bases > 0:
+            q_parts.append(q[qi:qi + blk.q_bases])
+            r_parts.append(np.full(blk.q_bases, dna.GAP, np.int8))
+            qi += blk.q_bases
+    ans.r_seq = np.concatenate(r_parts) if r_parts else np.zeros(0, np.int8)
+    ans.q_seq = np.concatenate(q_parts) if q_parts else np.zeros(0, np.int8)
+    return ans
+
+
+def is_chain_file(filename: str) -> bool:
+    """chain.IsChainFile (chain.go:267)."""
+    return filename.endswith(".chain") or filename.endswith(".chain.gz")
+
+
+def is_axt_file(filename: str) -> bool:
+    """axt.IsAxtFile (axt.go:172)."""
+    return filename.endswith(".axt") or filename.endswith(".axt.gz")
+
+
 def _axt_ref_idx_range(a: Axt, chrom_start: int, chrom_end: int):
     """lift.refCoordToRefIdx (lift.go:140): alignment-column span covering
     a reference interval."""

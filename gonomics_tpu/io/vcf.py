@@ -302,6 +302,39 @@ def header_update_sample_list(header: Header,
     return out
 
 
+def snp(v: Vcf) -> bool:
+    """vcf.Snp (vcfTools.go:8): Info contains SVTYPE=SNP (note: also true
+    for SVTYPE=SNP;INS / SVTYPE=SNP;DEL haplotype blocks, as in Go)."""
+    return "SVTYPE=SNP" in v.info
+
+
+def ins(v: Vcf) -> bool:
+    """vcf.Ins (vcfTools.go:13)."""
+    return "SVTYPE=INS" in v.info
+
+
+def dele(v: Vcf) -> bool:
+    """vcf.Del (vcfTools.go:18)."""
+    return "SVTYPE=DEL" in v.info
+
+
+def sort(records: list[Vcf]) -> None:
+    """vcf.Sort (compare.go:70): in-place by (chrom, pos)."""
+    records.sort(key=lambda v: (v.chrom, v.pos))
+
+
+def is_vcf_file(filename: str) -> bool:
+    """vcf.IsVcfFile (io.go:215)."""
+    return filename.endswith(".vcf") or filename.endswith(".vcf.gz")
+
+
+def new_header() -> Header:
+    """vcf.NewHeader (header.go:300)."""
+    return Header(text=[
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"])
+
+
 def is_homozygous(s: Sample) -> bool:
     """vcf.IsHomozygous: diploid sample with equal alleles."""
     return (s.alleles is not None and len(s.alleles) == 2

@@ -89,6 +89,115 @@ def pipeline_step(mesh: Mesh, *, n: int, m: int, genome_len: int,
     return jax.jit(sharded)
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host entry over DCN: jax.distributed.initialize.
+
+    The reference scales across nodes only via SLURM job arrays over a
+    shared filesystem (SURVEY.md 2.5 "Cluster scale-out"); here multi-host
+    is first-class: each host runs the same program, JAX forms the global
+    device mesh over ICI+DCN, and make_mesh() then sees every chip.
+    All-None arguments defer to the TPU pod environment's auto-detection.
+    Safe to call once per process, before any other JAX API."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def shard_local_align(mesh: Mesh, scores, *, n: int, m: int, gap: int,
+                      interpret: bool):
+    """Data-parallel batched local alignment + on-device traceback.
+
+    shard_map of ops.wavefront.local_align_full over the "data" axis: each
+    device runs the Pallas wavefront + trace walk on its B/n_data slice of
+    the (read, window) batch; outputs stay in batch order, so downstream
+    SAM emission is deterministic regardless of the mesh (the canonical
+    (batch, read-id) merge order of SURVEY.md P3). Batch size must be a
+    multiple of 8 * mesh.shape["data"]."""
+    from ..ops.wavefront import local_align_full
+
+    sc = np.asarray(scores)
+
+    def local(alpha, beta, nv, mv):
+        return local_align_full(alpha, beta, nv, mv, sc, n=n, m=m,
+                                gap=gap, interpret=interpret)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None),) * 4,
+        out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                   P("data", None)),
+        check_vma=False))
+
+
+def shard_pileup_counts(mesh: Mesh, *, span: int, n_base: int = 13):
+    """Sharded dense pileup scatter-add: the TPU form of the reference's
+    position-synchronized pileup merge (sam/pileup.go:52-118).
+
+    Returns a jitted fn of (rel_pos, code, valid) -> (span_pad, n_base*2)
+    int32 counts, where rel_pos is position-lo, code = base*2 + strand,
+    and valid masks padding. Scatter events are sharded over "data", the
+    genome span over "seq"; each device scatter-adds its events into its
+    span slice and a psum over "data" completes the merge."""
+    seq_shards = mesh.shape["seq"]
+    span_pad = -(-span // seq_shards) * seq_shards
+    shard_span = span_pad // seq_shards
+    n_code = n_base * 2
+
+    def local(rel, code, valid):
+        seq_idx = jax.lax.axis_index("seq")
+        lo = seq_idx * shard_span
+        r = rel - lo
+        ok = valid & (r >= 0) & (r < shard_span)
+        r = jnp.where(ok, r, 0)
+        onehot = jax.nn.one_hot(code, n_code, dtype=jnp.int32)
+        onehot = onehot * ok[:, None].astype(jnp.int32)
+        counts = jnp.zeros((shard_span, n_code), jnp.int32)
+        counts = counts.at[r].add(onehot)
+        return jax.lax.psum(counts, "data")
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("seq", None)))
+
+
+def merge_shard_files(out_path: str, shard_paths: list[str],
+                      header_lines: list[str] | None = None) -> None:
+    """Canonical multi-host SAM/giraf merge: shard files hold the records
+    of round-robin read blocks (host h owns batches h, h+H, h+2H, ...,
+    one BATCH-marker line per batch); the merged output is in original
+    read order — byte-identical to a single-host run."""
+    from .. import fileio
+
+    readers = [fileio.easy_open(p) for p in shard_paths]
+    with fileio.easy_create(out_path) as out:
+        if header_lines:
+            for ln in header_lines:
+                out.write(ln + "\n")
+        done = [False] * len(readers)
+        while not all(done):
+            for i, r in enumerate(readers):
+                if done[i]:
+                    continue
+                wrote_any = False
+                for ln in r:
+                    if ln.startswith("#BATCH"):
+                        wrote_any = True
+                        break
+                    out.write(ln)
+                if not wrote_any:
+                    done[i] = True
+    for r in readers:
+        r.close()
+
+
 def example_step_inputs(mesh: Mesh, *, B: int, n: int, m: int,
                         genome_len: int, seed: int = 0):
     """Tiny, correctly-sharded inputs for pipeline_step."""

@@ -90,8 +90,14 @@ class _ChromCounts:
 
 def pileup(reads: list[Sam], header: Header,
            read_filters=None, pile_filters=None,
-           include_no_data: bool = False) -> list[Pile]:
-    """sam.GoPileup equivalent, eager over a read list."""
+           include_no_data: bool = False, mesh=None) -> list[Pile]:
+    """sam.GoPileup equivalent, eager over a read list.
+
+    mesh: optional jax.sharding.Mesh ("data", "seq"); when given, the
+    dense base-count scatter-add runs on the device mesh (events sharded
+    over "data", genome span over "seq", psum-merged — see
+    gonomics_tpu.parallel.shard_pileup_counts). Indel side tables stay on
+    host (sparse, rare). Output is identical to the host path."""
     if header.sort_order[0] != "coordinate":
         raise ValueError("input sam/bam must be coordinate sorted")
     refmap = {c.name: c for c in header.chroms}
@@ -158,8 +164,13 @@ def pileup(reads: list[Sam], header: Header,
             lo = int(min(pm.min(), min(ins_pos, default=pm.min())))
             hi = int(max(pm.max(), max(ins_pos, default=pm.max())))
             cd.lo = lo
-            cd.counts = np.zeros((hi - lo + 1, 13, 2), np.int32)
-            np.add.at(cd.counts, (pm - lo, base[m], strand[m]), 1)
+            span = hi - lo + 1
+            if mesh is not None:
+                cd.counts = _device_counts(mesh, pm - lo, base[m],
+                                           strand[m], span)
+            else:
+                cd.counts = np.zeros((span, 13, 2), np.int32)
+                np.add.at(cd.counts, (pm - lo, base[m], strand[m]), 1)
 
     # emit piles in coordinate order
     out: list[Pile] = []
@@ -183,6 +194,25 @@ def pileup(reads: list[Sam], header: Header,
                 continue
             out.append(pile)
     return out
+
+
+def _device_counts(mesh, rel: np.ndarray, base: np.ndarray,
+                   strand: np.ndarray, span: int) -> np.ndarray:
+    """Sharded scatter-add of (rel, base, strand) events -> (span, 13, 2)."""
+    from .parallel import shard_pileup_counts
+
+    fn = shard_pileup_counts(mesh, span=span)
+    ndata = mesh.shape["data"]
+    n = len(rel)
+    n_pad = max(ndata, -(-n // ndata) * ndata)
+    relp = np.zeros(n_pad, np.int32)
+    relp[:n] = rel
+    codep = np.zeros(n_pad, np.int32)
+    codep[:n] = base * 2 + strand
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    counts = np.asarray(fn(relp, codep, valid))[:span]
+    return counts.reshape(span, 13, 2)
 
 
 def sync_pileups(samples: list[list[Pile]]):

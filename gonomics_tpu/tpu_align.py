@@ -88,8 +88,13 @@ class TpuReadAligner:
     def __init__(self, records, *, seed_len: int = 21, read_kmers: int = 8,
                  max_hits_per_kmer: int = 8, pad: int = 24,
                  scores: np.ndarray = HUMAN_CHIMP_TWO, gap: int = -600,
-                 min_score: int = 1200, backend: str = "auto"):
-        """records: list of io.fasta.Fasta (the linear reference)."""
+                 min_score: int = 1200, backend: str = "auto", mesh=None):
+        """records: list of io.fasta.Fasta (the linear reference).
+
+        mesh: optional jax.sharding.Mesh with a "data" axis; when given,
+        the device wavefront+traceback runs data-parallel over the mesh
+        (gonomics_tpu.parallel.shard_local_align). Outputs stay in batch
+        order, so SAM emission is deterministic for any mesh shape."""
         self.k = seed_len
         self.read_kmers = read_kmers
         self.max_hits = max_hits_per_kmer
@@ -97,6 +102,8 @@ class TpuReadAligner:
         self.scores = np.asarray(scores, np.int64)
         self.gap = gap
         self.min_score = min_score
+        self.mesh = mesh
+        self._sharded_fns: dict = {}
         if backend == "auto":
             import jax
 
@@ -210,7 +217,10 @@ class TpuReadAligner:
         windows = self.genome[starts[:, None] + np.arange(W)]
         read_seqs = np.where(cand.strand[:, None], fwd, rev)
 
-        Bp = max(8, -(-B // 8) * 8)
+        quantum = 8
+        if self.mesh is not None:
+            quantum = 8 * self.mesh.shape["data"]
+        Bp = max(quantum, -(-B // quantum) * quantum)
         if Bp != B:
             pad_rows = np.full((Bp - B, L), dna.N, np.int8)
             read_seqs = np.vstack([read_seqs, pad_rows])
@@ -222,10 +232,22 @@ class TpuReadAligner:
 
         import jax
 
-        res = local_align_full(
-            jnp.asarray(read_seqs), jnp.asarray(windows),
-            jnp.asarray(n_vec), jnp.asarray(m_vec), self.scores,
-            n=L, m=W, gap=self.gap, interpret=self.interpret)
+        if self.mesh is not None:
+            fn = self._sharded_fns.get((L, W))
+            if fn is None:
+                from .parallel import shard_local_align
+
+                fn = shard_local_align(self.mesh, self.scores, n=L, m=W,
+                                       gap=self.gap,
+                                       interpret=self.interpret)
+                self._sharded_fns[(L, W)] = fn
+            res = fn(jnp.asarray(read_seqs), jnp.asarray(windows),
+                     jnp.asarray(n_vec), jnp.asarray(m_vec))
+        else:
+            res = local_align_full(
+                jnp.asarray(read_seqs), jnp.asarray(windows),
+                jnp.asarray(n_vec), jnp.asarray(m_vec), self.scores,
+                n=L, m=W, gap=self.gap, interpret=self.interpret)
         score, i_end, _j_end, i0, j0, ops = jax.device_get(res)
 
         out: list[samio.Sam] = []
