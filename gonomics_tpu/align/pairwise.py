@@ -194,6 +194,42 @@ def const_gap_batch(pairs, scores, gap_pen: int, backend: str = "auto",
     return [(int(res[b, len(a)]), None) for b, (a, _) in enumerate(pairs)]
 
 
+def affine_gap_lowmem(alpha, beta, scores, gap_open: int, gap_extend: int,
+                      checkersize: int = 4096, backend: str = "auto"):
+    """align.AffineGap_customizeCheckersize (affineGap.go:73): O(n+m)-memory
+    affine alignment via tiled checkpoint + recompute traceback
+    (ops/wavefront.affine_gap_lowmem). For chromosome-scale pairs where the
+    full trace tensor would not fit HBM. Same (score, route) contract as
+    affine_gap."""
+    backend = _default_backend() if backend == "auto" else backend
+    alpha = _check(alpha, "alpha")
+    beta = _check(beta, "beta")
+    if backend == "numpy":
+        return oracle.affine_gap(alpha, beta, scores, gap_open, gap_extend)
+
+    from ..ops import wavefront
+
+    score, ops_back, i0, j0 = wavefront.affine_gap_lowmem(
+        alpha, beta, scores, gap_open, gap_extend, checkersize=checkersize,
+        interpret=(backend == "interpret"))
+    route: list[Cigar] = []
+
+    def emit(op: int, run: int = 1) -> None:
+        if route and route[-1].op == op:
+            route[-1].run_length += run
+        else:
+            route.append(Cigar(run, op))
+
+    for op in ops_back:
+        emit(int(op))
+    if i0 > 0:
+        emit(COL_D, int(i0))
+    elif j0 > 0:
+        emit(COL_I, int(j0))
+    route.reverse()
+    return score, route
+
+
 def affine_gap(alpha, beta, scores, gap_open: int, gap_extend: int,
                backend: str = "auto"):
     """align.AffineGap (affineGap.go:60): single pair -> (score, route)."""

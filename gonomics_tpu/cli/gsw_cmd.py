@@ -79,20 +79,34 @@ def _align_tpu(args) -> None:
         if sharded_out:
             out.write("#BATCH\n")
 
+    # double-buffer: batch i+1's host-side seeding overlaps batch i's
+    # device DP (async dispatch); finish_batch blocks on the result
     if len(args.files) == 3:
         r1 = fastqio.read(args.files[1])
         r2 = fastqio.read(args.files[2])
+        pending = None
         for bi, i in enumerate(range(0, len(r1), args.batch)):
             if sharded_out and bi % nproc != pid:
                 continue
-            emit(al.align_pairs(list(zip(r1[i:i + args.batch],
-                                         r2[i:i + args.batch]))))
+            pairs = list(zip(r1[i:i + args.batch], r2[i:i + args.batch]))
+            handle = al.align_pairs_async(pairs)
+            if pending is not None:
+                emit(al.finish_pairs(pending))
+            pending = handle
+        if pending is not None:
+            emit(al.finish_pairs(pending))
     else:
         reads = fastqio.read(args.files[1])
+        pending = None
         for bi, i in enumerate(range(0, len(reads), args.batch)):
             if sharded_out and bi % nproc != pid:
                 continue
-            emit(al.align_batch(reads[i:i + args.batch]))
+            handle = al.align_batch_async(reads[i:i + args.batch])
+            if pending is not None:
+                emit(al.finish_batch(pending))
+            pending = handle
+        if pending is not None:
+            emit(al.finish_batch(pending))
     if out_path not in ("-", "/dev/stdout", "stdout"):
         out.close()
     if sharded_out:

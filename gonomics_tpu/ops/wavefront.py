@@ -370,6 +370,340 @@ def local_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
     return score, i_end, j_end, i0, j0, ops.T  # ops -> (B, D)
 
 
+def _shift_chunked(x):
+    """s -> s-1 shift in the chunked layout x[c, l] = v[c*Sc + l]: lane
+    shift with a sublane-carry column (row c gets row c-1's last lane)."""
+    carry = jnp.concatenate([x[:1, -1:], x[:-1, -1:]], axis=0)
+    return jnp.concatenate([carry, x[:, :-1]], axis=1)
+
+
+def _affine_fwd_chunked_kernel(d0_ref, fin_ref, br_ref,
+                               q0, q1, q2, q3, q4,
+                               min_ref, iin_ref, din_ref,
+                               mout_ref, iout_ref, dout_ref,
+                               resm_ref, resi_ref, resd_ref,
+                               mbuf, ibuf, dbuf, *, n_pad: int, m_pad: int,
+                               go: int, ge: int, s_chunk: int, K: int):
+    """Forward checkerboard (K diagonals from an explicit two-diagonal
+    state) in a sublane-CHUNKED lane layout: the s axis is folded into
+    8 sublane rows of s_chunk lanes (s = c*s_chunk + l) so a single pair
+    fills all sublanes instead of paying 8x padding. This is what lets a
+    chromosome-scale wavefront (n ~ 100k lanes) fit VMEM.
+
+    br layout: br2[c] = br_flat[c*s_chunk :], so one lane-roll by the
+    per-diagonal offset serves all 8 rows at once. State slot p holds the
+    diagonal with parity d%2 == p (as in _affine_kernel)."""
+    t = pl.program_id(0)
+    dg = d0_ref[0, 0] + 1 + t
+    C, Sc = q0.shape
+    go_ = jnp.int32(go)
+    ge_ = jnp.int32(ge)
+    s_idx = (jax.lax.broadcasted_iota(jnp.int32, (C, Sc), 0) * Sc
+             + jax.lax.broadcasted_iota(jnp.int32, (C, Sc), 1))
+
+    @pl.when(t == 0)
+    def _load():
+        mbuf[0], mbuf[1] = min_ref[0], min_ref[1]
+        ibuf[0], ibuf[1] = iin_ref[0], iin_ref[1]
+        dbuf[0], dbuf[1] = din_ref[0], din_ref[1]
+        resm_ref[...] = jnp.full((C, Sc), NEG, jnp.int32)
+        resi_ref[...] = jnp.full((C, Sc), NEG, jnp.int32)
+        resd_ref[...] = jnp.full((C, Sc), NEG, jnp.int32)
+
+    cur = jax.lax.rem(dg, 2)
+    prv = 1 - cur
+    m1, i1, d1 = mbuf[prv], ibuf[prv], dbuf[prv]
+    m2, i2, d2 = mbuf[cur], ibuf[cur], dbuf[cur]
+
+    # beta codes: window [off + c*Sc + l]; rows pre-offset by c*Sc
+    off = m_pad - dg + 8 * Sc
+    off_al = pl.multiple_of((off // 128) * 128, 128)
+    r = off - off_al
+    win = br_ref[:, pl.ds(off_al, Sc + 128)].astype(jnp.int32)
+    win = pltpu.roll(win, jax.lax.rem(Sc + 128 - r, Sc + 128), axis=1)
+    be = win[:, :Sc]
+    sc = _select_score(be, q0, q1, q2, q3, q4)
+
+    m2s, i2s, d2s = _shift_chunked(m2), _shift_chunked(i2), _shift_chunked(d2)
+    m_new = sc + _max3(m2s, i2s, d2s)
+    i_new = _max3(go_ + ge_ + m1, ge_ + i1, go_ + ge_ + d1)
+    m1s, i1s, d1s = _shift_chunked(m1), _shift_chunked(i1), _shift_chunked(d1)
+    d_new = _max3(go_ + ge_ + m1s, go_ + ge_ + i1s, ge_ + d1s)
+
+    interior = (s_idx >= jnp.maximum(1, dg - m_pad)) & \
+               (s_idx <= jnp.minimum(dg - 1, n_pad))
+    row0 = (s_idx == 0) & (dg <= m_pad)
+    col0 = (s_idx == dg) & (dg <= n_pad)
+    bnd = go_ + ge_ * dg
+    m_new = jnp.where(interior, m_new, NEG)
+    i_new = jnp.where(interior, i_new, jnp.where(row0, bnd, NEG))
+    d_new = jnp.where(interior, d_new, jnp.where(col0, bnd, NEG))
+
+    mbuf[cur] = m_new
+    ibuf[cur] = i_new
+    dbuf[cur] = d_new
+
+    fin = fin_ref[0, 0] == dg
+    resm_ref[...] = jnp.where(fin, m_new, resm_ref[...])
+    resi_ref[...] = jnp.where(fin, i_new, resi_ref[...])
+    resd_ref[...] = jnp.where(fin, d_new, resd_ref[...])
+
+    @pl.when(t == K - 1)
+    def _store():
+        mout_ref[0], mout_ref[1] = mbuf[0], mbuf[1]
+        iout_ref[0], iout_ref[1] = ibuf[0], ibuf[1]
+        dout_ref[0], dout_ref[1] = dbuf[0], dbuf[1]
+
+
+def _affine_fwd_chunked_call(Sc: int, *, n: int, m: int, gap_open: int,
+                             gap_extend: int, K: int, interpret: bool):
+    def vspec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    state_shape = jax.ShapeDtypeStruct((2, 8, Sc), jnp.int32)
+    res_shape = jax.ShapeDtypeStruct((8, Sc), jnp.int32)
+    kern = functools.partial(_affine_fwd_chunked_kernel, n_pad=n, m_pad=m,
+                             go=gap_open, ge=gap_extend, s_chunk=Sc, K=K)
+    return pl.pallas_call(
+        kern,
+        grid=(K,),
+        in_specs=[sspec(), sspec()] + [vspec()] * 9,
+        out_specs=tuple([vspec()] * 6),
+        out_shape=tuple([state_shape] * 3 + [res_shape] * 3),
+        scratch_shapes=[pltpu.VMEM((2, 8, Sc), jnp.int32) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+
+def _affine_bwd_window_kernel(d0_ref, wlo_ref, br_ref, q0, q1, q2, q3, q4,
+                              min_ref, iin_ref, din_ref, trace_ref,
+                              mbuf, ibuf, dbuf, *, n_pad: int, m_pad: int,
+                              go: int, ge: int, s_size: int, K: int):
+    """Backward re-fill of one checkerboard restricted to a W-lane window
+    [wlo, wlo+W): dependencies move at most one lane per diagonal, so
+    cells in the traceback corridor are exact as long as the window
+    extends K lanes left of the path's entry lane. Emits the packed
+    M/I/D trace rows; VMEM cost is O(W), independent of n."""
+    t = pl.program_id(0)
+    dg = d0_ref[0, 0] + 1 + t
+    wlo = wlo_ref[0, 0]
+    B, W = q0.shape
+    go_ = jnp.int32(go)
+    ge_ = jnp.int32(ge)
+    s_idx = wlo + jax.lax.broadcasted_iota(jnp.int32, (B, W), dimension=1)
+
+    @pl.when(t == 0)
+    def _load():
+        mbuf[0], mbuf[1] = min_ref[0], min_ref[1]
+        ibuf[0], ibuf[1] = iin_ref[0], iin_ref[1]
+        dbuf[0], dbuf[1] = din_ref[0], din_ref[1]
+
+    cur = jax.lax.rem(dg, 2)
+    prv = 1 - cur
+    m1, i1, d1 = mbuf[prv], ibuf[prv], dbuf[prv]
+    m2, i2, d2 = mbuf[cur], ibuf[cur], dbuf[cur]
+
+    # beta window: beta code of cell (dg, s) at index off + wlo + l
+    off = m_pad - dg + s_size + wlo
+    off_al = pl.multiple_of((off // 128) * 128, 128)
+    r = off - off_al
+    win = br_ref[:, pl.ds(off_al, W + 128)].astype(jnp.int32)
+    win = pltpu.roll(win, jax.lax.rem(W + 128 - r, W + 128), axis=1)
+    be = win[:, :W]
+    sc = _select_score(be, q0, q1, q2, q3, q4)
+
+    m2s, i2s, d2s = _shift(m2), _shift(i2), _shift(d2)
+    m_new = sc + _max3(m2s, i2s, d2s)
+    a_i, b_i, c_i = go_ + ge_ + m1, ge_ + i1, go_ + ge_ + d1
+    i_new = _max3(a_i, b_i, c_i)
+    m1s, i1s, d1s = _shift(m1), _shift(i1), _shift(d1)
+    a_d, b_d, c_d = go_ + ge_ + m1s, go_ + ge_ + i1s, ge_ + d1s
+    d_new = _max3(a_d, b_d, c_d)
+
+    interior = (s_idx >= jnp.maximum(1, dg - m_pad)) & \
+               (s_idx <= jnp.minimum(dg - 1, n_pad))
+    row0 = (s_idx == 0) & (dg <= m_pad)
+    col0 = (s_idx == dg) & (dg <= n_pad)
+    bnd = go_ + ge_ * dg
+    m_new = jnp.where(interior, m_new, NEG)
+    i_new = jnp.where(interior, i_new, jnp.where(row0, bnd, NEG))
+    d_new = jnp.where(interior, d_new, jnp.where(col0, bnd, NEG))
+
+    mbuf[cur] = m_new
+    ibuf[cur] = i_new
+    dbuf[cur] = d_new
+
+    t_m = _argmax3(m2s, i2s, d2s)
+    t_i = _argmax3(a_i, b_i, c_i)
+    t_d = _argmax3(a_d, b_d, c_d)
+    trace_ref[0] = (t_m + t_i * 4 + t_d * 16).astype(jnp.int8)
+
+
+def _affine_bwd_window_call(B: int, W: int, *, n: int, m: int,
+                            gap_open: int, gap_extend: int, s_size: int,
+                            K: int, interpret: bool):
+    def vspec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    kern = functools.partial(_affine_bwd_window_kernel, n_pad=n, m_pad=m,
+                             go=gap_open, ge=gap_extend, s_size=s_size, K=K)
+    return pl.pallas_call(
+        kern,
+        grid=(K,),
+        in_specs=[sspec(), sspec()] + [vspec()] * 9,
+        out_specs=pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, B, W), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((2, B, W), jnp.int32) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("K", "W"))
+def _walk_block(trace, d0, soff, i, j, k, *, K: int, W: int):
+    """On-device traceback over one block's windowed trace. Emits the op
+    (0=M, 1=I, 2=D, 4=inactive) per step, walking backward while the
+    current cell's diagonal is inside [d0+1, d0+K]."""
+    B = trace.shape[1]
+    bidx = jnp.arange(B)
+
+    def step(carry, _):
+        i, j, k = carry
+        d_rel = i + j - 1 - d0
+        active = (i >= 1) & (j >= 1) & (d_rel >= 0)
+        dd = jnp.clip(d_rel, 0, K - 1)
+        ss = jnp.clip(i - soff, 0, W - 1)
+        packed = trace[dd, bidx, ss].astype(jnp.int32)
+        op = jnp.where(active, k, 4).astype(jnp.int8)
+        k_next = jnp.where(k == 0, packed & 3,
+                           jnp.where(k == 1, (packed >> 2) & 3,
+                                     (packed >> 4) & 3))
+        ni = i - jnp.where(active & ((k == 0) | (k == 2)), 1, 0)
+        nj = j - jnp.where(active & ((k == 0) | (k == 1)), 1, 0)
+        nk = jnp.where(active, k_next, k)
+        return (ni, nj, nk), op
+
+    (i, j, k), ops = jax.lax.scan(step, (i, j, k), None, length=K)
+    return i, j, k, ops
+
+
+def affine_gap_lowmem(alpha, beta, scores, gap_open: int, gap_extend: int,
+                      *, checkersize: int = 2048, interpret: bool = False):
+    """Chromosome-scale affine alignment in O(n+m) HBM: forward chunked
+    wavefront saving only block-edge state every `checkersize` diagonals,
+    then per-block windowed re-fill + on-device trace walk for traceback —
+    the reference's checkerboard scheme (align/affineGap.go:20-54,219-273)
+    rebuilt as tiled Pallas wavefronts.
+
+    Returns (score, ops, i0, j0) with ops the backward M/I/D op codes
+    (0/1/2) from (n, m) toward the origin; use pairwise.affine_gap_lowmem
+    for cigars. HBM: checkpoints O((n+m)/K * n) + one O(K^2) trace block;
+    VMEM: forward O(n) chunked rows, backward O(K) window rows."""
+    import numpy as onp
+
+    alpha = jnp.asarray(alpha, jnp.int8)[None]
+    beta = jnp.asarray(beta, jnp.int8)[None]
+    n = alpha.shape[1]
+    m = beta.shape[1]
+    S8 = _round_up(n + 1, 1024)  # 8 sublane chunks of Sc lanes
+    Sc = S8 // 8
+    K = int(checkersize)
+    d_total = n + m
+    W = min(S8, _round_up(2 * K + 640, 128))
+
+    profiles, br = _build_inputs(alpha, beta, scores, S8, m)
+    br_flat = br[0]
+    width2 = _round_up(S8 + m + Sc + 256, 128)
+    br2 = jnp.stack([br_flat[c * Sc: c * Sc + width2] for c in range(8)])
+    profs_c = [q.reshape(8, Sc) for q in profiles]
+    fin = jnp.full((1, 1), d_total, jnp.int32)
+
+    s_iota = jnp.arange(S8)
+    flat0 = [jnp.where(s_iota == 0, 0, NEG).astype(jnp.int32),
+             jnp.where(s_iota == 0, gap_open, NEG).astype(jnp.int32)]
+    negrow = jnp.full((8, Sc), NEG, jnp.int32)
+    sm = jnp.stack([flat0[0].reshape(8, Sc), negrow])
+    si = jnp.stack([flat0[1].reshape(8, Sc), negrow])
+    sd = si
+
+    fwd = _affine_fwd_chunked_call(Sc, n=n, m=m, gap_open=gap_open,
+                                   gap_extend=gap_extend, K=K,
+                                   interpret=interpret)
+    bwd = _affine_bwd_window_call(1, W, n=n, m=m, gap_open=gap_open,
+                                  gap_extend=gap_extend, s_size=S8, K=K,
+                                  interpret=interpret)
+
+    def scalar(v):
+        return jnp.full((1, 1), v, jnp.int32)
+
+    # forward: save block-entry states (the checkpoints)
+    fb = (d_total - 1) // K
+    ckpts = []
+    resm = resi = resd = None
+    for blk in range(fb + 1):
+        ckpts.append((sm, si, sd))
+        sm, si, sd, rm, ri, rd = fwd(scalar(blk * K), fin, br2,
+                                     *profs_c, sm, si, sd)
+        if blk == fb:
+            resm, resi, resd = rm, ri, rd
+
+    fm = int(resm.reshape(S8)[n])
+    fi = int(resi.reshape(S8)[n])
+    fd = int(resd.reshape(S8)[n])
+    if fm >= fi and fm >= fd:
+        k0, score = 0, fm
+    elif fi >= fd:
+        k0, score = 1, fi
+    else:
+        k0, score = 2, fd
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _window_state(state, wlo):
+        flat = state.reshape(2, S8)
+        return jax.lax.dynamic_slice(flat, (0, wlo), (2, W))[:, None, :]
+
+    @jax.jit
+    def _window_profiles(wlo):
+        return [jax.lax.dynamic_slice(q, (0, wlo), (1, W))
+                for q in profiles]
+
+    # backward: re-fill one block at a time, walk its windowed trace
+    i_cur, j_cur, k_cur = n, m, k0
+    ops_parts = []
+    for blk in range(fb, -1, -1):
+        wlo = max(0, min(((i_cur - 2 * K - 128) // 128) * 128, S8 - W))
+        sm_b, si_b, sd_b = ckpts[blk]
+        trace = bwd(scalar(blk * K), scalar(wlo), br,
+                    *_window_profiles(wlo),
+                    _window_state(sm_b, wlo), _window_state(si_b, wlo),
+                    _window_state(sd_b, wlo))
+        iv, jv, kv, ops = _walk_block(
+            trace, jnp.asarray(blk * K), jnp.asarray(wlo),
+            jnp.asarray([i_cur]), jnp.asarray([j_cur]),
+            jnp.asarray([k_cur]), K=K, W=W)
+        i_cur = int(iv[0])
+        j_cur = int(jv[0])
+        k_cur = int(kv[0])
+        ops_parts.append(onp.asarray(ops)[:, 0])
+
+    ops_back = onp.concatenate(ops_parts) if ops_parts else \
+        onp.zeros(0, onp.int8)
+    ops_back = ops_back[ops_back != 4]
+    return score, ops_back, i_cur, j_cur
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n", "m", "gap_open", "gap_extend", "with_trace", "mode", "interpret"))
 def wavefront_align(alpha_pad, beta_pad, fin_d, scores, *, n: int, m: int,

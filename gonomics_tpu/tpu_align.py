@@ -38,23 +38,19 @@ from .io.fastq import Fastq, qual_string
 
 def _rolling_codes(seq: np.ndarray, k: int) -> np.ndarray:
     """2-bit rolling codes of every k-window (uint64); windows containing
-    non-ACGT bases get the sentinel code 2^63 (never indexed)."""
+    non-ACGT bases get the sentinel code 2^63 (never indexed).
+
+    Vectorized over positions: k shifted adds over the whole genome
+    (k <= 32 passes of length-n vector ops, no per-base Python loop)."""
     s = np.asarray(seq, np.int64)
     n = len(s) - k + 1
     if n <= 0:
         return np.zeros(0, np.uint64)
     vals = np.where(s < 4, s, 0).astype(np.uint64)
-    codes = np.zeros(len(s), np.uint64)
-    acc = np.zeros((), np.uint64)
-    mask = np.uint64((1 << (2 * k)) - 1)
-    # vectorized horner via cumulative shifts: fall back to a tight loop in
-    # blocks (k is small; this runs once per genome / read batch column)
-    for i in range(len(s)):
-        acc = ((acc << np.uint64(2)) | vals[i]) & mask
-        codes[i] = acc
-    out = codes[k - 1:]
+    out = np.zeros(n, np.uint64)
+    for i in range(k):
+        out |= vals[i:n + i] << np.uint64(2 * (k - 1 - i))
     bad = np.lib.stride_tricks.sliding_window_view(s >= 4, k).any(axis=1)
-    out = out.copy()
     out[bad] = np.uint64(1) << np.uint64(63)
     return out
 
@@ -195,6 +191,13 @@ class TpuReadAligner:
     # ---- alignment ----
 
     def align_batch(self, reads: list[Fastq]) -> list[samio.Sam]:
+        return self.finish_batch(self.align_batch_async(reads))
+
+    def align_batch_async(self, reads: list[Fastq]):
+        """Host prep + async device dispatch; pair with finish_batch.
+        Lets the caller overlap the next batch's host-side seeding with
+        this batch's device DP (the channel-pipelining analog of
+        cmd/gsw/pairedEndFastqs.go:24-35)."""
         import jax.numpy as jnp
 
         from .ops.wavefront import local_align_full
@@ -248,6 +251,13 @@ class TpuReadAligner:
                 jnp.asarray(read_seqs), jnp.asarray(windows),
                 jnp.asarray(n_vec), jnp.asarray(m_vec), self.scores,
                 n=L, m=W, gap=self.gap, interpret=self.interpret)
+        return reads, cand, starts, lens, res
+
+    def finish_batch(self, handle) -> list[samio.Sam]:
+        """Block on the device result of align_batch_async and emit SAM."""
+        import jax
+
+        reads, cand, starts, lens, res = handle
         score, i_end, _j_end, i0, j0, ops = jax.device_get(res)
 
         out: list[samio.Sam] = []
@@ -309,11 +319,17 @@ class TpuReadAligner:
         return s
 
     def align_pairs(self, pairs: list[tuple[Fastq, Fastq]]) -> list[samio.Sam]:
+        return self.finish_pairs(self.align_pairs_async(pairs))
+
+    def align_pairs_async(self, pairs: list[tuple[Fastq, Fastq]]):
         flat: list[Fastq] = []
         for a, bb in pairs:
             flat.append(a)
             flat.append(bb)
-        sams = self.align_batch(flat)
+        return self.align_batch_async(flat)
+
+    def finish_pairs(self, handle) -> list[samio.Sam]:
+        sams = self.finish_batch(handle)
         for i in range(0, len(sams), 2):
             a, b = sams[i], sams[i + 1]
             for x, y, first in ((a, b, True), (b, a, False)):
