@@ -328,6 +328,8 @@ def main(argv=None) -> None:
     p.add_argument("--mesh", action="store_true",
                    help="run the pileup scatter-add sharded over all "
                         "local devices (data x seq mesh, psum-merged)")
+    p.add_argument("--profile", default="",
+                   help="write a jax.profiler trace to this directory")
     a = p.parse_args(argv)
     if not a.exp:
         raise SystemExit("ERROR: must declare at least 1 experimental "
@@ -337,9 +339,19 @@ def main(argv=None) -> None:
         from ..parallel import make_mesh
 
         mesh = make_mesh()
-    call_variants(a.exp, a.norm, a.r, "-" if a.o == "stdout" else a.o,
-                  a.p, a.minAF, a.maxAF, a.maxStrandBias, a.minCoverage,
-                  a.minMapQ, a.minAltReads, mesh=mesh)
+
+    def run():
+        call_variants(a.exp, a.norm, a.r, "-" if a.o == "stdout" else a.o,
+                      a.p, a.minAF, a.maxAF, a.maxStrandBias,
+                      a.minCoverage, a.minMapQ, a.minAltReads, mesh=mesh)
+
+    if a.profile:
+        import jax.profiler
+
+        with jax.profiler.trace(a.profile):
+            run()
+    else:
+        run()
 
 
 if __name__ == "__main__":

@@ -317,6 +317,10 @@ def main(argv=None) -> None:
     al.add_argument("--multihost", action="store_true",
                     help="tpu engine: jax.distributed multi-host run; "
                          "process 0 merges shard outputs canonically")
+    al.add_argument("--profile", default="",
+                    help="write a jax.profiler trace to this directory "
+                         "(the reference's opt-in pprof flag analog, "
+                         "cmd/faFindFast/faFindFast.go:122)")
     gg = sub.add_parser("ggtools", help="Genomic utilities to create, "
                         "manipulate and operate on genome graphs")
     gg.add_argument("input", help="input file [.chain/.vcf/.axt]")
@@ -329,7 +333,13 @@ def main(argv=None) -> None:
     gg.add_argument("-o", "--out", default="/dev/stdout")
     a = p.parse_args(argv)
     if a.cmd == "align":
-        align_cmd(a)
+        if getattr(a, "profile", ""):
+            import jax.profiler
+
+            with jax.profiler.trace(a.profile):
+                align_cmd(a)
+        else:
+            align_cmd(a)
     elif a.cmd == "ggtools":
         ggtools_cmd(a)
 

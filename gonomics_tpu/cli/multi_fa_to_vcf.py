@@ -123,9 +123,56 @@ def multi_fa_to_vcf(in_file: str, chr_: str, out_file: str, *,
             pairwise_fa_to_vcf(pair, chr_, out, substitutions_only, retain_n)
         elif len(f) == 2:
             pairwise_fa_to_vcf(f, chr_, out, substitutions_only, retain_n)
+        elif len(f) == 3:
+            three_way_fa_to_vcf(f, chr_, out)
         else:
-            raise SystemExit("Error: expecting 2 sequences in the input "
-                             "FASTA (3-way mode not yet supported).")
+            raise SystemExit("Error: expecting 2 or 3 sequences in the "
+                             "input FASTA.")
+
+
+def three_way_fa_to_vcf(f, chr_: str, out) -> None:
+    """convert.ThreeWayFaToVcf (convert.go:203): segregating substitution
+    sites with entry 0 as reference and entries 1/2 as the two alleles;
+    genotypes 1/0, 0/1, 1/1, or 1/2. Indels (gap columns) are skipped."""
+    import numpy as np
+
+    from .. import dna
+
+    if len(f) != 3:
+        raise SystemExit("ThreeWayFaToVcf expects a fasta input with "
+                         "three entries.")
+    s0 = np.asarray(f[0].seq)
+    s1 = np.asarray(f[1].seq)
+    s2 = np.asarray(f[2].seq)
+    curr_ref_pos, curr_aln_pos = 0, 0
+    for i in range(len(s0)):
+        if s0[i] == dna.GAP or s1[i] == dna.GAP or s2[i] == dna.GAP:
+            continue
+        b0, b1, b2 = int(s0[i]), int(s1[i]), int(s2[i])
+        if b0 != b1 or b0 != b2:
+            curr_ref_pos = fastaio.aln_pos_to_ref_pos_counter(
+                f[0], i, curr_ref_pos, curr_aln_pos)
+            curr_aln_pos = i
+            if b0 != b1 and b0 == b2:
+                alt = [dna.to_string(s1[i:i + 1])]
+                alleles = [1, 0]
+            elif b0 == b1 and b0 != b2:
+                alt = [dna.to_string(s2[i:i + 1])]
+                alleles = [0, 1]
+            elif b1 == b2:
+                alt = [dna.to_string(s1[i:i + 1])]
+                alleles = [1, 1]
+            else:
+                alt = [dna.to_string(s1[i:i + 1]),
+                       dna.to_string(s2[i:i + 1])]
+                alleles = [1, 2]
+            vcfio.write_vcf(out, vcfio.Vcf(
+                chrom=chr_, pos=curr_ref_pos + 1, id=".",
+                ref=dna.to_string(s0[i:i + 1]), alt=alt, qual=100.0,
+                filter="PASS", info=".", format=["GT"],
+                samples=[vcfio.Sample(alleles=alleles,
+                                      phase=[False, False],
+                                      format_data=[""])]))
 
 
 def main(argv=None) -> None:

@@ -374,6 +374,65 @@ def parse_extra(s: Sam) -> None:
         s._raw_tags = None  # type: ignore[attr-defined]
 
 
+def query_tag(s: Sam, tag: str):
+    """sam.QueryTag (tag.go:27): typed value of tag for a bam-read record.
+
+    Returns (value, found). Values: int for integer types, float for 'f',
+    str for 'A'/'Z', bytes for 'H', list for 'B' arrays. Raises on
+    records without raw bam tag bytes (like the reference's error)."""
+    raw = getattr(s, "_raw_tags", None)
+    if raw is None:
+        raise ValueError("no tags present, or record was not parsed from "
+                         "a bam file")
+    if len(tag) != 2:
+        raise ValueError("input tag must be 2 characters")
+    off = 0
+    while off < len(raw):
+        cur = raw[off:off + 2].decode("latin-1")
+        typ = chr(raw[off + 2])
+        off += 3
+        if typ == "B":
+            sub = chr(raw[off])
+            n = struct.unpack_from("<I", raw, off + 1)[0]
+            off += 5
+            vals = []
+            for _ in range(n):
+                if sub == "f":
+                    vals.append(struct.unpack_from("<f", raw, off)[0])
+                    off += 4
+                else:
+                    vals.append(struct.unpack_from(_TAG_FMT[sub], raw,
+                                                   off)[0])
+                    off += _TAG_SIZES[sub]
+            value = vals
+        elif typ == "A":
+            value = chr(raw[off])
+            off += 1
+        elif typ == "Z":
+            end = raw.index(0, off)
+            value = raw[off:end].decode("latin-1")
+            off = end + 1
+        elif typ == "H":
+            end = raw.index(0, off)
+            value = bytes.fromhex(raw[off:end].decode("latin-1"))
+            off = end + 1
+        elif typ == "f":
+            value = struct.unpack_from("<f", raw, off)[0]
+            off += 4
+        else:
+            value = struct.unpack_from(_TAG_FMT[typ], raw, off)[0]
+            off += _TAG_SIZES[typ]
+        if cur == tag:
+            return value, True
+    return None, False
+
+
+def remove_all_tags(s: Sam) -> None:
+    """sam.RemoveAllTags (tag.go:58)."""
+    parse_extra(s)
+    s.extra = ""
+
+
 def remove_tag(s: Sam, tag_id: str) -> None:
     """sam.RemoveTag (tag.go:65-103)."""
     if len(tag_id) != 2:

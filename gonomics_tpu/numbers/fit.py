@@ -157,6 +157,126 @@ def _move(r, p, r_step, p_step, d):
     return r + r_step, p - p_step
 
 
+class MixtureModel:
+    """fit.MixtureModel (mixtureModel.go:11): 1-D Gaussian mixture fit by
+    EM. Results live in means/stdev/weights/log_likelihood."""
+
+    def __init__(self):
+        self.data = None
+        self.k = 0
+        self.means = []
+        self.stdev = []
+        self.weights = []
+        self.max_iter = 0
+        self.log_likelihood = 0.0
+
+
+def _sample_without_replacement(data, k: int, rng):
+    """sampleWithoutReplacement (mixtureModel.go:253): Fisher-Yates
+    shuffle + RandIntInRange draws on the (Go-emulated) global rand."""
+    if k > len(data):
+        raise ValueError("requested more gaussians than data points")
+
+    def swap(i, j):
+        data[i], data[j] = data[j], data[i]
+
+    rng.shuffle(len(data), swap)
+    ans = []
+    mx = len(data)
+    for _ in range(k):
+        idx = int(rng.float64() * mx)
+        ans.append(data[idx])
+        data[idx], data[len(data) - 1] = data[len(data) - 1], data[idx]
+        mx -= 1
+    return ans
+
+
+def run_mixture_model_1d(data, k: int, max_iterations: int,
+                         max_resets: int, log_prob_epsilon: float,
+                         mm: MixtureModel, rng=None):
+    """fit.RunMixtureModel1D (mixtureModel.go:40): EM with resets on
+    degenerate components; returns (converged, iterations_run).
+    Numerics follow the mixtools normpost.c stabilization exactly."""
+    import numpy as np
+
+    from .gorand import default
+
+    if rng is None:
+        rng = default()
+    if len(data) == 0:
+        return False, 0
+    data = list(data)
+    eps = log_prob_epsilon if log_prob_epsilon != 0 else 1e-08
+
+    def init():
+        mm.data = data
+        mm.k = k
+        mm.max_iter = max_iterations
+        mm.log_likelihood = math.inf
+        mm.means = _sample_without_replacement(data, k, rng)
+        mm.stdev = [1.0] * k
+        mm.weights = [1.0 / k] * k
+
+    init()
+    arr = np.asarray(data, np.float64)
+    n = len(arr)
+    resets = 0
+    converged = False
+    iterations = 0
+    posteriors = residuals = None
+    while resets < max_resets and not converged:
+        # E step (expectation, mixtureModel.go:175)
+        prev = mm.log_likelihood
+        means = np.asarray(mm.means)
+        stdev = np.asarray(mm.stdev)
+        weights = np.asarray(mm.weights)
+        lam_sig = weights / stdev
+        res = (arr[None, :] - means[:, None]) ** 2          # (k, n)
+        work = res / (2 * stdev * stdev)[:, None]
+        minj = np.argmin(work, axis=0)
+        mn = work[minj, np.arange(n)]
+        w = (lam_sig[:, None] / lam_sig[minj][None, :]) * \
+            np.exp(mn[None, :] - work)
+        w[minj, np.arange(n)] = 1.0
+        rowsum = w.sum(axis=0)
+        posteriors = w / rowsum
+        mm.log_likelihood = float(
+            -(n // 2) * 0.91893853320467274178
+            + np.sum(np.log(rowsum) - mn + np.log(lam_sig[minj])))
+        residuals = res
+        if abs(mm.log_likelihood - prev) < eps:
+            converged = True
+
+        # M step (maximization, mixtureModel.go:225)
+        psum = posteriors.sum(axis=1)
+        mm.weights = list(psum / n)
+        mu = posteriors @ arr
+        with np.errstate(invalid="ignore"):
+            new_means = np.where(psum > 0, mu / np.where(psum > 0, psum,
+                                                         1.0), means)
+            var = (posteriors * residuals).sum(axis=1)
+            var = np.where(psum > 0, var / np.where(psum > 0, psum, 1.0),
+                           var)
+        mm.means = list(new_means)
+        mm.stdev = list(np.sqrt(var))
+
+        degenerate = any(s < 1e-04 for s in mm.stdev) or \
+            any(wt < 1e-02 for wt in mm.weights)
+        if degenerate:
+            resets += 1
+            init()
+            iterations = 0
+            converged = False
+            continue
+        iterations += 1
+        if iterations == mm.max_iter:
+            resets += 1
+            init()
+            iterations = 0
+            converged = False
+    return converged, iterations
+
+
 def zero_truncated_negative_binomial(data: list[int], r: float, p: float,
                                      r_step: float, p_step: float):
     """fit.ZeroTruncatedNegativeBinomial (ztnb.go:297): maximum-likelihood
