@@ -129,13 +129,21 @@ def measure_reads_per_s(B: int = 2048, L: int = 150,
         return reads
 
     al.align_batch(make_reads(0))  # warm-up/compile
+    # double-buffered steady state — the gsw CLI's actual pipeline
+    # (batch i+1 host prep overlaps batch i device DP)
+    batches = [make_reads(t + 1) for t in range(4)]
     best = 0.0
-    for trial in range(3):
-        reads = make_reads(trial + 1)
+    for _ in range(2):
         t0 = time.perf_counter()
-        al.align_batch(reads)
+        pending = None
+        for reads in batches:
+            handle = al.align_batch_async(reads)
+            if pending is not None:
+                al.finish_batch(pending)
+            pending = handle
+        al.finish_batch(pending)
         dt = time.perf_counter() - t0
-        best = max(best, B / dt)
+        best = max(best, len(batches) * B / dt)
     return best
 
 

@@ -259,36 +259,49 @@ class TpuReadAligner:
 
         reads, cand, starts, lens, res = handle
         score, i_end, _j_end, i0, j0, ops = jax.device_get(res)
+        routes = self._routes_from_ops_batch(np.asarray(ops[:len(reads)]))
 
         out: list[samio.Sam] = []
         for b, r in enumerate(reads):
-            out.append(self._emit(r, b, score, i_end, i0, j0, ops, cand,
-                                  starts, int(lens[b])))
+            out.append(self._emit(r, b, score, i_end, i0, j0, routes[b],
+                                  cand, starts, int(lens[b])))
         return out
 
     @staticmethod
-    def _route_from_ops(op_row: np.ndarray) -> list[CigarOp]:
-        """Backward-walk op codes -> forward run-length cigar (vectorized
-        run-length encoding)."""
-        stop = np.flatnonzero(op_row >= 3)
-        end = int(stop[0]) if len(stop) else len(op_row)
-        r = op_row[:end]
-        if end == 0:
-            return []
-        bounds = np.flatnonzero(np.diff(r)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [end]))
+    def _routes_from_ops_batch(ops: np.ndarray) -> list[list[CigarOp]]:
+        """Backward-walk op codes -> forward run-length cigars for the
+        WHOLE batch in one vectorized RLE pass (one np.nonzero over
+        (B, D) instead of per-read numpy calls — the emit hot spot)."""
+        B, D = ops.shape
+        stop = ops >= 3
+        row_ends = np.where(stop.any(axis=1), stop.argmax(axis=1), D)
+        col = np.arange(D)[None, :]
+        valid = col < row_ends[:, None]
+        change = np.ones((B, D), bool)
+        change[:, 1:] = ops[:, 1:] != ops[:, :-1]
+        change &= valid
+        rows, starts = np.nonzero(change)  # row-major: runs in order
+        if len(rows) == 0:
+            return [[] for _ in range(B)]
+        run_ops = ops[rows, starts]
+        ends = np.empty_like(starts)
+        same_row = rows[:-1] == rows[1:]
+        ends[:-1] = np.where(same_row, starts[1:], row_ends[rows[:-1]])
+        ends[-1] = row_ends[rows[-1]]
+        lengths = (ends - starts).tolist()
         chars = "MDI"
-        route = [CigarOp(int(e - s), chars[r[s]])
-                 for s, e in zip(starts, ends)]
-        route.reverse()
-        return route
+        routes: list[list[CigarOp]] = [[] for _ in range(B)]
+        for r, o, ln in zip(rows.tolist(), run_ops.tolist(), lengths):
+            routes[r].append(CigarOp(ln, chars[o]))
+        for route in routes:
+            route.reverse()
+        return routes
 
     def _locate(self, gpos: int) -> tuple[str, int]:
         ci = int(np.searchsorted(self._starts_arr, gpos, side="right")) - 1
         return self.chroms[ci].name, gpos - self.chrom_starts[ci]
 
-    def _emit(self, r: Fastq, b: int, score, i_end, i0, j0, ops,
+    def _emit(self, r: Fastq, b: int, score, i_end, i0, j0, route,
               cand: _Candidate, starts, read_len: int) -> samio.Sam:
         strand = bool(cand.strand[b])
         qual = r.qual if strand else r.qual[::-1]
@@ -298,7 +311,6 @@ class TpuReadAligner:
                       seq=seq, qual=qual_string(qual))
         if score[b] < self.min_score or cand.votes[b] == 0:
             return s
-        route = self._route_from_ops(ops[b])
         if not route:
             return s
         cig: list[CigarOp] = []

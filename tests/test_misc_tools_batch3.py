@@ -106,3 +106,4 @@ def test_chunk_align_divisibility_error(tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
