@@ -1,10 +1,7 @@
 """randSeq — pseudorandom DNA fasta (reference: cmd/randSeq/randSeq.go,
-simulate.RandIntergenicSeq withIndels.go:19).
-
-Byte-parity note: the reference samples from Go's seeded math/rand
-stream; outputs here use numpy's PCG64 with the same seed flag, so
-sequences are reproducible but not byte-identical to Go goldens
-(COVERAGE.md "Known parity limitations")."""
+simulate.RandIntergenicSeq withIndels.go:19). Byte-exact with the
+reference goldens: bases are drawn from the emulated Go rand stream
+(numbers/gorand) in the reference's exact order."""
 
 from __future__ import annotations
 
@@ -14,23 +11,32 @@ import numpy as np
 
 from .. import fileio
 from ..io import fasta as fastaio
+from ..numbers.gorand import GoRand
 
 
-def rand_intergenic_seq(rng: np.random.Generator, gc: float,
-                        length: int) -> np.ndarray:
-    """simulate.RandIntergenicSeq: iid bases with P(G)=P(C)=gc/2."""
-    r = rng.random(length)
-    out = np.empty(length, dtype=np.int8)
-    out[r < gc / 2] = 1  # C
-    out[(r >= gc / 2) & (r < gc)] = 2  # G
-    out[(r >= gc) & (r < gc + (1 - gc) / 2)] = 0  # A
-    out[r >= gc + (1 - gc) / 2] = 3  # T
-    return out
+def choose_random_base(rng: GoRand, gc_content: float) -> int:
+    """simulate.ChooseRandomBase (simulate.go:110): one Float64 draw;
+    branch order G, C, T, A."""
+    at = 1 - gc_content
+    r = rng.float64()
+    if r < gc_content / 2:
+        return 2  # G
+    if r < gc_content:
+        return 1  # C
+    if r < at / 2 + gc_content:
+        return 3  # T
+    return 0      # A
+
+
+def rand_intergenic_seq(rng: GoRand, gc: float, length: int) -> np.ndarray:
+    """simulate.RandIntergenicSeq (withIndels.go:19)."""
+    return np.array([choose_random_base(rng, gc) for _ in range(length)],
+                    np.int8)
 
 
 def rand_seq(out_file: str, gc: float = 0.41, num_seq: int = 10,
              len_seq: int = 500, set_seed: int = -1) -> None:
-    rng = np.random.default_rng(None if set_seed < 0 else set_seed)
+    rng = GoRand(set_seed)
     with fileio.easy_create(out_file) as f:
         for i in range(num_seq):
             fastaio.write_fasta(

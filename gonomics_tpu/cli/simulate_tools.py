@@ -52,17 +52,23 @@ def generate_bed_region(search_space: list[bedio.Bed], rand_pos: int,
 def simulate_bed(region_count: int, sim_length: int, matched_bed: str,
                  no_gap_file: str, out_file: str,
                  set_seed: int = -1) -> None:
-    rng = np.random.default_rng(None if set_seed < 0 else set_seed)
+    """cmd/simulateBed + simulate.GoSimulateBed (bed.go:67): positions
+    drawn from the bit-exact Go rand stream (byte-equal goldens)."""
+    from ..numbers.gorand import GoRand
+
+    rng = GoRand(set_seed)
     no_gap = bedio.read(no_gap_file)
     if matched_bed:
         matched = bedio.read(matched_bed)
-        sim_length = sum(b.chrom_end - b.chrom_start
-                         for b in matched) // len(matched)
+        # bed.AverageSize (info.go:114): math.Round of the float mean
+        avg = sum(b.chrom_end - b.chrom_start
+                  for b in matched) / len(matched)
+        sim_length = int(avg + 0.5)
         region_count = len(matched)
     total = count_windows(no_gap, sim_length)
     with fileio.easy_create(out_file) as out:
         for _ in range(region_count):
-            pos = int(rng.integers(0, total))
+            pos = int(rng.float64() * total)  # numbers.RandIntInRange
             region, found = generate_bed_region(no_gap, pos, sim_length)
             if found:
                 bedio.write_to_handle(out, region)
@@ -72,31 +78,30 @@ def simulate_bed(region_count: int, sim_length: int, matched_bed: str,
 
 def simulate_seg_site(rng, alpha: float, n: int, bound_alpha: float,
                       bound_beta: float, bound_multiplier: float):
-    """popgen.SimulateSegSite (afsSimulate.go:13)."""
+    """popgen.SimulateSegSite (afsSimulate.go:13), exact Go draw order
+    via the emulated rand stream (rng: gorand.GoRand)."""
+    from ..numbers.gosamplers import (bounded_rejection_sample,
+                                      scaled_beta_sampler)
+
+    bound = scaled_beta_sampler(rng, bound_alpha, bound_beta,
+                                bound_multiplier)
+
+    def f(x):
+        try:
+            return popgen.afs_stationarity(x, alpha)
+        except (ZeroDivisionError, OverflowError):
+            return math.inf  # Go float semantics at the domain edges
+
     for _ in range(1000000):
-        # bounded rejection sample from the stationarity density
-        freq = None
-        for _ in range(10000000):
-            x = float(rng.beta(bound_alpha, bound_beta))
-            if x <= 0.0 or x >= 1.0:
-                continue
-            try:
-                y_bound = bound_multiplier * dist.beta_dist(
-                    x, bound_alpha, bound_beta)
-            except OverflowError:
-                continue  # Go yields +Inf here; the draw always rejects
-            if not math.isfinite(y_bound):
-                continue
-            y = popgen.afs_stationarity(x, alpha)
-            if y > y_bound:
-                raise SystemExit("invalid bounding function")
-            if rng.uniform(0.0, y_bound) < y:
-                freq = x
-                break
-        count = int((rng.random(n) < freq).sum())
+        freq, _ = bounded_rejection_sample(rng, bound, f, 0.0, 1.0,
+                                           10000000)
+        count = 0
+        for _ in range(n):
+            if rng.float64() < freq:
+                count += 1
         if count < 1 or count == n:
             continue
-        divergent = bool(rng.random() < freq)
+        divergent = rng.float64() < freq
         return count, n, divergent
     raise SystemExit("unable to produce non-zero allele frequency")
 
@@ -108,15 +113,18 @@ def simulate_genotype(rng, alpha: float, n: int, bound_alpha: float,
                                             bound_beta, bound_multiplier)
     if divergent:
         i = total - i
-    alleles = np.zeros(total, dtype=np.int64)
-    alleles[:i] = 1
-    rng.shuffle(alleles)
+    alleles = [1] * i + [0] * (total - i)
+
+    def swap(a, b):
+        alleles[a], alleles[b] = alleles[b], alleles[a]
+
+    rng.shuffle(total, swap)
     samples = []
     for c in range(0, total, 2):
         if c + 1 >= total:
-            pair = [int(alleles[c]), -1]
+            pair = [alleles[c], -1]
         else:
-            pair = [int(alleles[c]), int(alleles[c + 1])]
+            pair = [alleles[c], alleles[c + 1]]
         s = vcfio.Sample()
         s.alleles = pair
         s.phase = [False, False]
@@ -144,7 +152,9 @@ def simulate_vcf(out_file: str, *, alpha: float = 0.01,
                  bound_beta: float = 0.001,
                  bound_multiplier: float = 10000.0,
                  ref_file: str = "") -> None:
-    rng = np.random.default_rng(None if set_seed < 0 else set_seed)
+    from ..numbers.gorand import GoRand
+
+    rng = GoRand(set_seed)
     with fileio.easy_create(out_file) as out:
         if not ref_file:
             for i in range(num_sites):
@@ -155,20 +165,19 @@ def simulate_vcf(out_file: str, *, alpha: float = 0.01,
         # VcfToFile's reference-genome path (vcf.go:28)
         ref = fastaio.read(ref_file)
         regions = _ungapped_regions_all(ref)
-        offsets = {}
-        running: dict[str, int] = {}
-        for b in regions:
-            if b.chrom not in running:
-                running[b.chrom] = 0
         fa_idx = {r.name: i for i, r in enumerate(ref)}
         total = count_windows(regions, 1)
-        generated: set[tuple[str, int]] = set()
+        # mapSearchSpaceToOffset keys by FULL region name but is probed
+        # with the '_'-stripped chrom (vcf.go:44-51) — the lookup always
+        # misses (Go zero value 0), so the dedup key is the chrom-local
+        # start and COLLIDES across chromosomes. Replicated faithfully.
+        generated: set[int] = set()
         produced = 0
         while produced < num_sites:
-            pos = int(rng.integers(0, total))
+            pos = int(rng.float64() * total)  # RandIntInRange
             region, _ = generate_bed_region(regions, pos, 1)
             chrom = region.name.split("_")[0]
-            key = (chrom, region.chrom_start)
+            key = region.chrom_start
             if key in generated:
                 continue
             generated.add(key)
@@ -192,9 +201,13 @@ def simulate_vcf(out_file: str, *, alpha: float = 0.01,
 
 
 def _change_base(rng, base: int) -> int:
-    new = base
+    """simulate.changeBase (simulate.go:130): draws ChooseRandomBase at
+    the package GC constant 0.42 until it differs."""
+    from .rand_seq import choose_random_base
+
+    new = choose_random_base(rng, 0.42)
     while new == base:
-        new = int(rng.integers(0, 4))
+        new = choose_random_base(rng, 0.42)
     return new
 
 
@@ -241,15 +254,24 @@ def simulate_divergent_windows_vcf(out_lower: str, out_upper: str, *,
         raise SystemExit("The number of total simulated Vcf variants "
                          "must be greater than the desired number of "
                          "variants per window.")
-    rng = np.random.default_rng(None if set_seed < 0 else set_seed)
+    from ..numbers.gorand import GoRand
+
+    rng = GoRand(set_seed)
     sites = [single_vcf_random(rng, alpha, num_alleles, bound_alpha,
                                bound_beta, bound_multiplier, i + 1)
              for i in range(num_total_sites)]
     from .vcf_filter import is_alt_ancestor
     windows = []
-    for _ in range(num_windows):
-        order = rng.permutation(len(sites))
-        chosen = [sites[i] for i in order][:num_window_sites]
+    for w in range(num_windows):
+        # the reference RE-SEEDS with setSeed*i and shuffles TotalSites
+        # IN PLACE each window (cumulative), then takes the head
+        rng.seed(set_seed * w)
+
+        def swap(i, j):
+            sites[i], sites[j] = sites[j], sites[i]
+
+        rng.shuffle(len(sites), swap)
+        chosen = list(sites[:num_window_sites])
         windows.append((sum(1 for v in chosen if is_alt_ancestor(v)),
                         chosen))
     windows.sort(key=lambda w: w[0])

@@ -243,8 +243,22 @@ class GoRand:
             m[j] = i
         return m
 
+    def _int31n_lemire(self, n: int) -> int:
+        """rand's PRIVATE int31n (rand.go:119): Lemire's multiply-shift
+        on Uint32 draws — used by Shuffle, unlike the exported Int31n."""
+        v = self.uint32()
+        prod = v * n
+        low = prod & 0xFFFFFFFF
+        if low < n:
+            thresh = ((1 << 32) - n) % n
+            while low < thresh:
+                v = self.uint32()
+                prod = v * n
+                low = prod & 0xFFFFFFFF
+        return prod >> 32
+
     def shuffle(self, n: int, swap) -> None:
-        """rand.Shuffle (rand.go:242)."""
+        """rand.Shuffle (rand.go:232)."""
         if n < 0:
             raise ValueError("invalid argument to Shuffle")
         i = n - 1
@@ -253,7 +267,7 @@ class GoRand:
             swap(i, j)
             i -= 1
         while i > 0:
-            j = self.int31n(i + 1)
+            j = self._int31n_lemire(i + 1)
             swap(i, j)
             i -= 1
 

@@ -81,3 +81,43 @@ def test_simulate_divergent_windows(tmp_path):
     hi_rec, _ = vcfio.read(hi)
     assert len(lo_rec) == 5 * 1      # lower 10% of 10 windows = 1
     assert len(hi_rec) == 5 * 1      # upper from index 9 = 1 window
+
+
+def test_simulate_bed_reference_goldens(tmp_path):
+    # byte-exact vs cmd/simulateBed goldens (Go rand stream via gorand)
+    td = f"{REF}/simulateBed/testdata"
+    out = str(tmp_path / "out.bed")
+    simulate_bed(10, 1000, "", f"{td}/test.noGap.bed", out, set_seed=10)
+    assert fileio.are_equal(out, f"{td}/expected.bed")
+    out2 = str(tmp_path / "out2.bed")
+    simulate_bed(0, 0, f"{td}/expected.bed", f"{td}/test.noGap.bed", out2,
+                 set_seed=10)
+    assert fileio.are_equal(out2, f"{td}/expected.matched.bed")
+
+
+def test_simulate_vcf_reference_goldens(tmp_path):
+    # byte-exact vs cmd/simulateVcf goldens (all three configs)
+    td = f"{REF}/simulateVcf/testdata"
+    out = str(tmp_path / "o.vcf")
+    simulate_vcf(out, alpha=4, num_alleles=100, num_sites=100,
+                 set_seed=11)
+    assert fileio.are_equal(out, f"{td}/expected.vcf")
+    simulate_vcf(out, alpha=4, num_alleles=100, num_sites=10, set_seed=11,
+                 ref_file=f"{td}/refFa_short.fasta")
+    assert fileio.are_equal(out, f"{td}/expected_2.vcf")
+    simulate_vcf(out, alpha=4, num_alleles=100, num_sites=20, set_seed=29,
+                 ref_file=f"{td}/refFa_short.fasta")
+    assert fileio.are_equal(out, f"{td}/expected_3.vcf")
+
+
+def test_rand_seq_reference_goldens(tmp_path):
+    from gonomics_tpu.cli.rand_seq import rand_seq
+
+    td = f"{REF}/randSeq/testdata"
+    out = str(tmp_path / "rs.fa")
+    for exp, gc, n, ln in [("expected.fa", 0.41, 10, 500),
+                           ("expectedHighGC.fa", 0.60, 10, 500),
+                           ("expectedShort.fa", 0.41, 10, 20),
+                           ("expectedNumSeq.fa", 0.41, 3, 500)]:
+        rand_seq(out, gc, n, ln, 10)
+        assert fileio.are_equal(out, f"{td}/{exp}")
