@@ -2,10 +2,10 @@
 simulateWrightFisher CLIs (reference: cmd/{selectionMle,selectionMcmc,
 dunnIndex,mcmcTraceStats,simulateWrightFisher}).
 
-Parity note: selectionMcmc and simulateWrightFisher consume Go's seeded
-math/rand stream in the reference; numpy's PCG64 is used here, so
-outputs are reproducible per seed but not byte-identical to the Go
-goldens (COVERAGE.md limitations)."""
+Parity note: simulateWrightFisher replays the reference's Go rand
+stream bit-exactly (numbers/gorand) — all three reference goldens are
+byte-identical. selectionMcmc still uses numpy's PCG64 (reproducible per
+seed, not byte-identical; see COVERAGE.md)."""
 
 from __future__ import annotations
 
@@ -112,8 +112,13 @@ def simulate_wright_fisher(out_file: str, *, pop_size: int = 100,
                            gc_content: float = 0.5, init_freq: str = "",
                            fitness_string: str = "", set_seed: int = 1,
                            out_fasta: bool = False) -> None:
-    """cmd/simulateWrightFisher (wrightFisherFuncs.go), numpy RNG."""
-    rng = np.random.default_rng(set_seed)
+    """cmd/simulateWrightFisher (wrightFisherFuncs.go), byte-exact via
+    the emulated Go rand stream (draw order: per generation, per site,
+    per individual — inheritance draw then mutation-check draw)."""
+    from ..numbers.gorand import GoRand
+    from .rand_seq import choose_random_base
+
+    rng = GoRand(set_seed)
     if r_fitness < 0:
         raise SystemExit("rFitness value must be greater or equal than "
                          "zero.")
@@ -128,24 +133,20 @@ def simulate_wright_fisher(out_file: str, *, pop_size: int = 100,
             raise SystemExit("Ancestral alleles in -i and -W must be the "
                              "same.")
 
-    # initial population: pop x genome int8 matrix of base codes 0..3
+    from .. import dna
+
+    # initial population (makeInitialPop, wrightFisherFuncs.go:110)
     if not ancestral:
-        r = rng.random(genome_size)
-        init_seq = np.empty(genome_size, dtype=np.int8)
-        init_seq[r < gc_content / 2] = 1
-        init_seq[(r >= gc_content / 2) & (r < gc_content)] = 2
-        init_seq[(r >= gc_content)
-                 & (r < gc_content + (1 - gc_content) / 2)] = 0
-        init_seq[r >= gc_content + (1 - gc_content) / 2] = 3
+        init_seq = np.array([choose_random_base(rng, gc_content)
+                             for _ in range(genome_size)], np.int8)
         pop = np.tile(init_seq, (pop_size, 1))
         ancestral_arr = init_seq.copy()
     else:
         freq = [float(x) for x in init_freq.split(",")[:4]] \
             if init_freq else [0.0, 0.0, 0.0, 0.0]
-        if init_freq and abs(sum(freq) - 1.0) > 1e-12:
+        if init_freq and sum(freq) != 1.0:
             raise SystemExit("The sum of initial frequencies must be 1")
         pop = np.zeros((pop_size, genome_size), dtype=np.int8)
-        from .. import dna
         anc_code = int(dna.from_string(ancestral)[0])
         if init_freq:
             for j in range(pop_size):
@@ -162,32 +163,69 @@ def simulate_wright_fisher(out_file: str, *, pop_size: int = 100,
             pop[:, :] = anc_code
         ancestral_arr = np.full(genome_size, anc_code, dtype=np.int8)
 
-    # fitness landscape per site x base
+    # fitness landscape per site x base (makeFitnessArray)
     if fitness_string:
         fit_vals = [float(x) for x in fitness_string.split(",")[:4]]
         if any(f < 0 for f in fit_vals):
             raise SystemExit("Relative fitness values must be greater or "
                              "equal than zero.")
-        rel_fit = np.tile(np.asarray(fit_vals), (genome_size, 1))
+        rel_fit = [list(fit_vals) for _ in range(genome_size)]
     else:
-        rel_fit = np.full((genome_size, 4), r_fitness)
-        rel_fit[np.arange(genome_size), ancestral_arr.astype(int)] = 1.0
+        rel_fit = [[1.0 if b == int(ancestral_arr[sx]) else r_fitness
+                    for b in range(4)] for sx in range(genome_size)]
+
+    def site_freqs(p, sx):
+        col = p[:, sx]
+        n = float(pop_size)
+        return [float((col == b).sum()) / n for b in range(4)]
 
     freqs = np.zeros((num_gen + 1, genome_size, 4))
-    for b in range(4):
-        freqs[0, :, b] = (pop == b).mean(axis=0)
+    for sx in range(genome_size):
+        freqs[0, sx] = site_freqs(pop, sx)
+    norm = [freqs[0, sx, 0] * rel_fit[sx][0]
+            + freqs[0, sx, 1] * rel_fit[sx][1]
+            + freqs[0, sx, 2] * rel_fit[sx][2]
+            + freqs[0, sx, 3] * rel_fit[sx][3]
+            for sx in range(genome_size)]
+
+    def mutate_base(orig):
+        new = choose_random_base(rng, gc_content)
+        while new == orig:
+            new = choose_random_base(rng, gc_content)
+        return new
+
+    cur = pop
+    nxt = pop.copy()
     for t in range(1, num_gen + 1):
-        weighted = freqs[t - 1] * rel_fit
-        probs = weighted / weighted.sum(axis=1, keepdims=True)
-        for s_idx in range(genome_size):
-            pop[:, s_idx] = rng.choice(4, size=pop_size,
-                                       p=probs[s_idx])
-        mutate = rng.random(pop.shape) < mut_rate
-        if mutate.any():
-            shift = rng.integers(1, 4, size=mutate.sum())
-            pop[mutate] = (pop[mutate] + shift) % 4
-        for b in range(4):
-            freqs[t, :, b] = (pop == b).mean(axis=0)
+        for sx in range(genome_size):
+            f0 = freqs[t - 1, sx, 0] * rel_fit[sx][0] / norm[sx]
+            f1 = freqs[t - 1, sx, 1] * rel_fit[sx][1] / norm[sx]
+            f2 = freqs[t - 1, sx, 2] * rel_fit[sx][2] / norm[sx]
+            f3 = freqs[t - 1, sx, 3] * rel_fit[sx][3] / norm[sx]
+            c01 = f0 + f1
+            c012 = f0 + f1 + f2
+            for pp in range(pop_size):
+                r = rng.float64()
+                if r < f0:
+                    b = 0
+                elif r < c01:
+                    b = 1
+                elif r < c012:
+                    b = 2
+                else:
+                    b = 3
+                if rng.float64() < mut_rate:
+                    b = mutate_base(b)
+                nxt[pp, sx] = b
+        cur, nxt = nxt, cur
+        for sx in range(genome_size):
+            freqs[t, sx] = site_freqs(cur, sx)
+        norm = [freqs[t, sx, 0] * rel_fit[sx][0]
+                + freqs[t, sx, 1] * rel_fit[sx][1]
+                + freqs[t, sx, 2] * rel_fit[sx][2]
+                + freqs[t, sx, 3] * rel_fit[sx][3]
+                for sx in range(genome_size)]
+    pop = cur
 
     from .. import dna
     if out_fasta:

@@ -124,6 +124,81 @@ def rand_gamma(rng: GoRand, a: float, b: float):
     return b * d * v, gamma_dist(a, b, b * d * v)  # verbatim (monteCarlo.go:190)
 
 
+def rand_int_in_range(rng: GoRand, x: int, y: int) -> int:
+    """numbers.RandIntInRange (random.go:9): int(Float64()*(y-x)) + x."""
+    return int(rng.float64() * float(y - x)) + x
+
+
+def rand_geometric(rng: GoRand, p: float) -> int:
+    """numbers.RandGeometric (randExp.go:12): inverse transform,
+    support 0..+Inf."""
+    r = rng.float64()
+    return int(math.floor(_log(1 - r) / _log(1 - p)))
+
+
+def sample_inverse_normal(rng: GoRand, mu: float, sigma: float) -> float:
+    """numbers.SampleInverseNormal (monteCarlo.go:10)."""
+    return rng.norm_float64() * sigma + mu
+
+
+class BinomialAlias:
+    """numbers.BinomialAlias (randBinomial.go:14): Vose alias table for
+    Binom(n, p), built with the reference's exact float ops so that stack
+    membership (> 1/(n+1) comparisons) — and therefore the Alias table —
+    matches bit-for-bit."""
+
+    __slots__ = ("probability", "alias")
+
+    def __init__(self, probability: list[float], alias: list[int]):
+        self.probability = probability
+        self.alias = alias
+
+
+def make_binomial_alias(n: int, p: float) -> BinomialAlias:
+    """numbers.MakeBinomialAlias (randBinomial.go:36). Deterministic (no
+    rand draws); probabilities below the float underflow threshold
+    truncate to 0 exactly as the reference's BinomialDist does."""
+    from . import binomial_dist_log
+    from . import logspace as _ls
+
+    one_over = 1.0 / float(n + 1)
+    prob = [0.0] * (n + 1)
+    alias = [0] * (n + 1)
+    for k in range(n + 1):
+        log_p = binomial_dist_log(n, k, p)
+        prob[k] = math.exp(log_p) if _ls.can_convert(log_p) else 0.0
+    under: list[int] = []
+    over: list[int] = []
+    for k in range(n + 1):
+        (over if prob[k] > one_over else under).append(k)
+    while over and under:
+        cu = under[-1]
+        co = over[-1]
+        empty = one_over - prob[cu]
+        alias[cu] = co
+        under.pop()
+        prob[co] -= empty
+        if prob[co] < one_over:
+            under.append(co)
+            over.pop()
+    while over:
+        prob[over.pop()] = one_over
+    while under:
+        prob[under.pop()] = one_over
+    for k in range(n + 1):
+        prob[k] = prob[k] * float(n + 1)
+    return BinomialAlias(prob, alias)
+
+
+def rand_binomial(rng: GoRand, alias: BinomialAlias) -> int:
+    """numbers.RandBinomial (randBinomial.go:22): one RandIntInRange draw
+    then one Float64 draw."""
+    index = rand_int_in_range(rng, 0, len(alias.probability))
+    if rng.float64() < alias.probability[index]:
+        return index
+    return alias.alias[index]
+
+
 def scaled_beta_sampler(rng: GoRand, a: float, b: float,
                         multiplier: float):
     """numbers.ScaledBetaSampler (monteCarlo.go:123)."""

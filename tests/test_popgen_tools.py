@@ -115,3 +115,23 @@ def test_afs_likelihood_plot_golden(tmp_path):
             left_bound=-9, right_bound=9, number_of_points=21,
             integral_error=1e-5)
     assert fileio.are_equal(plot, f"{td}/expected.likelihoodPlot.txt")
+
+
+def test_simulate_wright_fisher_reference_goldens(tmp_path):
+    # byte-exact vs cmd/simulateWrightFisher goldens (Go rand stream)
+    td = "/root/reference/cmd/simulateWrightFisher/testdata"
+    out = str(tmp_path / "wf.tsv")
+    simulate_wright_fisher(out, pop_size=1000, mut_rate=1e-4,
+                           num_gen=1000, genome_size=1, r_fitness=1.02,
+                           gc_content=0.5, set_seed=5)
+    assert fileio.are_equal(out, f"{td}/expected_without_initFreq.tsv")
+    simulate_wright_fisher(out, pop_size=1000, mut_rate=1e-9, num_gen=500,
+                           genome_size=1, r_fitness=2, gc_content=0.5,
+                           init_freq="0.25,0.25,0.25,0.25,A", set_seed=10)
+    assert fileio.are_equal(out, f"{td}/expected_with_initFreq.tsv")
+    simulate_wright_fisher(out, pop_size=1000, mut_rate=1e-9, num_gen=500,
+                           genome_size=1, r_fitness=2, gc_content=0.5,
+                           init_freq="0.25,0.25,0.25,0.25,A",
+                           fitness_string="1,1.05,0.95,0.95,A",
+                           set_seed=20)
+    assert fileio.are_equal(out, f"{td}/expected_with_fitnessString.tsv")

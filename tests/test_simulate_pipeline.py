@@ -69,8 +69,8 @@ def test_simulate_sam_cli(tmp_path):
     ref_fa = str(tmp_path / "r.fa")
     fastaio.write(ref_fa, [fastaio.Fasta("c1", rand_seq(rng, 5000))])
     out = str(tmp_path / "o.sam")
-    simulate_sam(ref_fa, out, num_pairs=50, read_len=100,
-                 avg_fragment_size=250, seed=1)
+    simulate_sam(ref_fa, out, num_reads=50, read_len=100,
+                 fragment_length=250, set_seed=1)
     header, recs = samio.read(out)
     assert len(recs) == 100
     assert all(r.flag & 1 for r in recs)
