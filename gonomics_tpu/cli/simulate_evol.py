@@ -1,7 +1,9 @@
 """simulateEvol — molecular evolution simulation suite: genic /
 withIndels / nonCoding (reference: cmd/simulateEvol/*.go).
 
-RNG streams are seeded numpy (COVERAGE.md limitation vs Go math/rand)."""
+withIndels and nonCoding replay the reference's Go rand stream bit-
+exactly (numbers/gorand); all four testdata goldens match byte-for-byte.
+genic still uses seeded numpy (no reference golden pins its stream)."""
 
 from __future__ import annotations
 
@@ -28,9 +30,9 @@ def genic(tree_file: str, in_file: str, out_file: str, *, set_seed: int = 1,
 
 
 def with_indels(in_file: str, out_file: str, *, lambda_: float = 1.0,
-                prop_indels: float = 0.2, branch_length: float = 0.1,
-                gc_content: float = 0.42, set_seed: int = 1,
-                q_name: str = "sim", vcf_out_file: str = "",
+                prop_indels: float = 0.0, branch_length: float = 0.0,
+                gc_content: float = 0.42, set_seed: int = -1,
+                q_name: str = "evol", vcf_out_file: str = "",
                 transition_bias: float = 1.0) -> None:
     if not 0 <= prop_indels <= 1:
         raise SystemExit("The propIndels option must be a value between 0 "
@@ -42,7 +44,9 @@ def with_indels(in_file: str, out_file: str, *, lambda_: float = 1.0,
     if not 0 <= branch_length <= 1:
         raise SystemExit("The branchLength argument must be a value between "
                          "0 and 1.")
-    rng = np.random.default_rng(set_seed)
+    from ..numbers.gorand import GoRand
+
+    rng = GoRand(set_seed)
     out = simulate.with_indels(rng, in_file, branch_length, prop_indels,
                                lambda_, gc_content, transition_bias,
                                vcf_out_file, q_name)
@@ -50,12 +54,21 @@ def with_indels(in_file: str, out_file: str, *, lambda_: float = 1.0,
 
 
 def non_coding(out_file: str, *, tree_file: str = "", fasta_file: str = "",
-               num_nodes: int = 11, gamma_alpha: float = 1.0,
-               gamma_beta: float = 20.0, gc_content: float = 0.42,
-               len_seq: int = 100, unit_branch_length: float = -1.0,
+               num_nodes: int = 13, gamma_alpha: float = 1.0,
+               gamma_beta: float = 50.0, gc_content: float = 0.41,
+               len_seq: int = 100, unit_branch_length: float = -100.0,
                substitution_matrix_file: str = "", newick_out: str = "",
-               set_seed: int = 1) -> None:
-    rng = np.random.default_rng(set_seed)
+               set_seed: int = -1) -> None:
+    """cmd/simulateEvol nonCoding (nonCoding.go:97): byte-exact with the
+    reference goldens via the emulated Go rand stream."""
+    from ..numbers.gorand import GoRand
+    from ..numbers.gosamplers import rand_gamma
+    from .rand_seq import rand_intergenic_seq
+
+    rng = GoRand(set_seed)
+    if gamma_alpha <= 0 or gamma_beta <= 0:
+        raise SystemExit("Error: expected Gamma distribution parameters to "
+                         "be positive numbers.")
     if not 0 <= gc_content <= 1:
         raise SystemExit(f"Error: GcContent must be a value between 0 and "
                          f"1. Found: {gc_content}.")
@@ -67,19 +80,20 @@ def non_coding(out_file: str, *, tree_file: str = "", fasta_file: str = "",
     else:
         root = simulate.sim_etree(rng, num_nodes, gamma_alpha, gamma_beta)
     if unit_branch_length < 0:
-        unit_branch_length = float(rng.gamma(gamma_alpha, 1.0 / gamma_beta))
+        unit_branch_length = rand_gamma(rng, gamma_alpha, gamma_beta)[0]
     if fasta_file:
         records = fastaio.read(fasta_file)
         if len(records) != 1:
             raise SystemExit(f"Error: expected 1 sequence in the input "
                              f"fasta file. Received: {len(records)}.")
+        # the reference renames the NODE to "root" but keeps the fasta
+        # record's own name in the output (nonCoding.go:124-126)
         records[0].seq = dna.to_upper(records[0].seq)
         root.fasta = records[0]
         root.name = "root"
     else:
-        seq = np.array([simulate.choose_random_base(rng, gc_content)
-                        for _ in range(len_seq)], np.int8)
-        root.fasta = fastaio.Fasta("root", seq)
+        root.fasta = fastaio.Fasta(
+            "root", rand_intergenic_seq(rng, gc_content, len_seq))
     root = simulate.non_coding(root, substitution_matrix_file,
                                unit_branch_length, rng)
     fastaio.write(out_file, [n.fasta for n in get_tree(root)])
@@ -93,7 +107,7 @@ def main(argv=None) -> None:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("genic")
-    g.add_argument("--setSeed", type=int, default=1)
+    g.add_argument("--setSeed", type=int, default=-1)
     g.add_argument("--completeSimOutput", default="")
     g.add_argument("--genePred", default="")
     g.add_argument("tree")
@@ -101,12 +115,12 @@ def main(argv=None) -> None:
     g.add_argument("output")
 
     w = sub.add_parser("withIndels")
-    w.add_argument("--lambdaValue", type=float, default=1.0)
-    w.add_argument("--propIndel", type=float, default=0.2)
-    w.add_argument("--branchLength", type=float, default=0.1)
+    w.add_argument("--lambdaValue", "-lambda", type=float, default=1.0)
+    w.add_argument("--propIndel", type=float, default=0.0)
+    w.add_argument("--branchLength", type=float, default=0.0)
     w.add_argument("--gcContent", type=float, default=0.42)
-    w.add_argument("--setSeed", type=int, default=1)
-    w.add_argument("--qName", default="sim")
+    w.add_argument("--setSeed", type=int, default=-1)
+    w.add_argument("--qName", default="evol")
     w.add_argument("--vcfOutFile", default="")
     w.add_argument("--transitionBias", type=float, default=1.0)
     w.add_argument("input")
@@ -115,15 +129,16 @@ def main(argv=None) -> None:
     n = sub.add_parser("nonCoding")
     n.add_argument("--treeFile", default="")
     n.add_argument("--fastaFile", default="")
-    n.add_argument("--numNodes", type=int, default=11)
+    n.add_argument("--numNodes", type=int, default=13)
     n.add_argument("--gammaAlpha", type=float, default=1.0)
-    n.add_argument("--gammaBeta", type=float, default=20.0)
-    n.add_argument("--gcContent", type=float, default=0.42)
+    n.add_argument("--gammaBeta", type=float, default=50.0)
+    n.add_argument("--gcContent", type=float, default=0.41)
     n.add_argument("--lenSeq", type=int, default=100)
-    n.add_argument("--unitBranchLength", type=float, default=-1.0)
-    n.add_argument("--substitutionMatrix", default="")
+    n.add_argument("--unitBranchLength", type=float, default=-100.0)
+    n.add_argument("--substitutionMatrix", "--substitutionMatrixFile",
+                   default="")
     n.add_argument("--newickOut", default="")
-    n.add_argument("--setSeed", type=int, default=1)
+    n.add_argument("--setSeed", type=int, default=-1)
     n.add_argument("output")
 
     a = p.parse_args(argv)

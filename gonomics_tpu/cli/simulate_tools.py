@@ -430,10 +430,12 @@ def main_pcr(argv=None) -> None:
     p.add_argument("-bed", default="")
     p.add_argument("-fastq", default="")
     p.add_argument("-maxProductSize", type=int, default=1000)
-    p.add_argument("-includePrimer", action="store_true", default=True)
+    p.add_argument("-includePrimer", nargs="?", const="true",
+                   default="true",
+                   help="Go-style bool: -includePrimer=false to disable")
     a = p.parse_args(argv)
     if not a.primers:
         raise SystemExit("ERROR: primer sequence must be declared at "
                          "least once using -p")
     simulate_pcr(a.primers, a.t, a.bed, a.fastq, a.maxProductSize,
-                 a.includePrimer)
+                 a.includePrimer.lower() in ("true", "1", "t"))

@@ -19,8 +19,8 @@ from ..io import fasta as fastaio
 @dataclass
 class ETree:
     name: str = ""
-    branch_length: float = 1.0
-    only_topology: bool = True
+    branch_length: float = 0.0   # Go zero value
+    only_topology: bool = False
     fasta: fastaio.Fasta | None = None
     left: "ETree | None" = None
     right: "ETree | None" = None

@@ -18,8 +18,8 @@ from .. import fileio
 @dataclass
 class Tree:
     name: str = ""
-    only_topology: bool = True
-    branch_length: float = 1.0
+    only_topology: bool = False  # Go zero values
+    branch_length: float = 0.0
     left: "Tree | None" = None
     right: "Tree | None" = None
 
@@ -38,7 +38,8 @@ def parse_dot(filename: str) -> Tree:
         prev: Tree | None = None
         for word in words:
             if word not in nodes:
-                current = Tree(name=word)
+                current = Tree(name=word, only_topology=True,
+                               branch_length=0.0)  # tree.go:88
                 if not nodes:
                     root = current
                 nodes[word] = current

@@ -397,9 +397,14 @@ BLOSUM = np.array([
 ])
 
 
-def choose_random_base(rng: np.random.Generator, gc_content: float) -> int:
+def _rand01(rng) -> float:
+    """One uniform draw from either a numpy Generator or a GoRand."""
+    return rng.float64() if hasattr(rng, "float64") else rng.random()
+
+
+def choose_random_base(rng, gc_content: float) -> int:
     """simulate.ChooseRandomBase (simulate.go:111)."""
-    r = rng.random()
+    r = _rand01(rng)
     at = 1 - gc_content
     if r < gc_content / 2:
         return dna.G
@@ -410,7 +415,7 @@ def choose_random_base(rng: np.random.Generator, gc_content: float) -> int:
     return dna.A
 
 
-def change_base(rng: np.random.Generator, original: int) -> int:
+def change_base(rng, original: int) -> int:
     """simulate.changeBase (simulate.go:131): resample until different."""
     new = choose_random_base(rng, GC)
     while new == original:
@@ -418,10 +423,9 @@ def change_base(rng: np.random.Generator, original: int) -> int:
     return new
 
 
-def change_base_transition_bias(rng: np.random.Generator, b: int,
-                                gamma: float) -> int:
+def change_base_transition_bias(rng, b: int, gamma: float) -> int:
     """simulate.changeBaseTransitionBias (withIndels.go:223): K80 model."""
-    r = rng.random()
+    r = _rand01(rng)
     tv = 1.0 / (2.0 + gamma)
     b = int(dna.to_upper(np.array([b], np.int8))[0])
     if b == dna.A:
@@ -574,7 +578,7 @@ def simulate_genic(rand_seq_filename: str, root: ETree, gene_file: str,
     recurse(root, records[0].seq)
 
 
-def with_indels(rng: np.random.Generator, fasta_file: str,
+def with_indels(rng, fasta_file: str,
                 branch_length: float, prop_indel: float, lambda_: float,
                 gc_content: float, transition_bias: float,
                 vcf_out_file: str, q_name: str) -> list[fastaio.Fasta]:
@@ -596,6 +600,11 @@ def with_indels(rng: np.random.Generator, fasta_file: str,
 
     def indel_length() -> int:
         import math
+
+        if hasattr(rng, "float64"):
+            from .numbers.gosamplers import rand_exp
+
+            return int(math.ceil(rand_exp(rng)[0] / lambda_))
         return int(math.ceil(rng.exponential() / lambda_))
 
     def report(pos: int, ref_b: list[int], alt_b: list[int]) -> None:
@@ -607,12 +616,12 @@ def with_indels(rng: np.random.Generator, fasta_file: str,
     i = 0
     n = len(src)
     while i < n:
-        if rng.random() < branch_length:
-            r2 = rng.random()
+        if _rand01(rng) < branch_length:
+            r2 = _rand01(rng)
             if r2 < prop_indel / 2.0:  # deletion
                 indel_start = i + 1
                 cur_ref = [src[i]]
-                if rng.random() < branch_length:
+                if _rand01(rng) < branch_length:
                     ref_out.append(src[i])
                     alt_out.append(sub(src[i]))
                 else:
@@ -621,6 +630,10 @@ def with_indels(rng: np.random.Generator, fasta_file: str,
                 cur_alt = [alt_out[-1]]
                 i += 1
                 if i >= n:
+                    # reference never increments outputPos here, so the
+                    # buffer trim drops the written base (withIndels.go:91)
+                    ref_out.pop()
+                    alt_out.pop()
                     break
                 out_of_chrom = False
                 for _ in range(indel_length()):
@@ -639,7 +652,7 @@ def with_indels(rng: np.random.Generator, fasta_file: str,
             elif r2 < prop_indel:  # insertion
                 indel_start = i + 1
                 cur_ref = [src[i]]
-                if rng.random() < branch_length:
+                if _rand01(rng) < branch_length:
                     ref_out.append(src[i])
                     alt_out.append(sub(src[i]))
                 else:
@@ -648,6 +661,8 @@ def with_indels(rng: np.random.Generator, fasta_file: str,
                 cur_alt = [alt_out[-1]]
                 i += 1
                 if i >= n:
+                    ref_out.pop()  # see deletion-branch note
+                    alt_out.pop()
                     break
                 for _ in range(indel_length()):
                     ref_out.append(dna.GAP)
@@ -697,22 +712,26 @@ def parse_substitution_matrix_file(filename: str) -> list[list[float]]:
 
 
 def non_coding(root: ETree, substitution_matrix_file: str,
-               unit_branch_length: float, rng: np.random.Generator) -> ETree:
+               unit_branch_length: float, rng) -> ETree:
     """simulate.NonCoding (nonCoding.go:22): evolve each node's sequence
-    from its parent through a per-branch substitution matrix."""
+    from its parent through a per-branch substitution matrix. rng may be
+    a numpy Generator or a GoRand (byte parity with the reference)."""
     from .phylo.etree import populate_substitution_matrices
 
     unit = parse_substitution_matrix_file(substitution_matrix_file)
     populate_substitution_matrices(root, unit, unit_branch_length)
+    is_go = hasattr(rng, "float64")
 
     def substitute(seq: np.ndarray, matrix) -> np.ndarray:
         m = np.asarray(matrix, np.float64)
         out = np.asarray(seq, np.int8).copy()
         for idx in range(len(out)):
             b = int(out[idx])
+            # the reference draws BEFORE the >3 check (nonCoding.go:57),
+            # so N bases consume a draw
+            r = rng.float64() if is_go else rng.random()
             if b > 3:
                 continue
-            r = rng.random()
             cum = 0.0
             for new in range(3):
                 cum += m[b][new]
@@ -735,17 +754,23 @@ def non_coding(root: ETree, substitution_matrix_file: str,
     return root
 
 
-def sim_etree(rng: np.random.Generator, num_nodes: int, gamma_alpha: float,
+def sim_etree(rng, num_nodes: int, gamma_alpha: float,
               gamma_beta: float) -> ETree:
     """simulate.ETree (tree.go:13): random topology with gamma-distributed
-    branch lengths."""
+    branch lengths. rng may be a numpy Generator or a GoRand (byte parity
+    with the reference: RandGamma x2 then Intn per level)."""
     if num_nodes % 2 != 1 or num_nodes < 0:
         raise SystemExit(f"Expecting a positive odd number of target "
                          f"nodes. Found: {num_nodes}.")
     root = ETree(name="root")
     leaves: list[ETree] = []
+    is_go = hasattr(rng, "float64")
 
     def gamma() -> float:
+        if is_go:
+            from .numbers.gosamplers import rand_gamma
+
+            return rand_gamma(rng, gamma_alpha, gamma_beta)[0]
         return float(rng.gamma(gamma_alpha, 1.0 / gamma_beta))
 
     def generate(up: ETree, to_add: int) -> None:
@@ -755,7 +780,9 @@ def sim_etree(rng: np.random.Generator, num_nodes: int, gamma_alpha: float,
         up.right = ETree(name=f"Child_{to_add - 1}", up=up,
                          branch_length=gamma())
         leaves.extend([up.left, up.right])
-        nxt = leaves.pop(int(rng.integers(0, len(leaves))))
+        idx = rng.intn(len(leaves)) if is_go else \
+            int(rng.integers(0, len(leaves)))
+        nxt = leaves.pop(idx)
         generate(nxt, to_add - 2)
 
     generate(root, num_nodes - 1)
