@@ -40,7 +40,11 @@ def selection_mle(in_file: str, out_file: str, *, left: float = -10,
 
 def selection_mcmc(in_file: str, out_file: str,
                    s: popgen.McmcSettings, set_seed: int = -1) -> None:
-    rng = np.random.default_rng(None if set_seed < 0 else set_seed)
+    """cmd/selectionMcmc (selectionMcmc.go:17): byte-exact with the
+    reference trace goldens via the emulated Go rand stream."""
+    from ..numbers.gorand import GoRand
+
+    rng = GoRand(set_seed)
     data = popgen.vcf_to_afs(
         in_file, unpolarized=s.unpolarized,
         divergence_ascertainment=s.divergence_ascertainment,
@@ -279,8 +283,8 @@ def main_mcmc(argv=None) -> None:
     p.add_argument("-iterations", type=int, default=100)
     p.add_argument("-muStep", type=float, default=0.2)
     p.add_argument("-muZero", type=float, default=0.0)
-    p.add_argument("-sigmaStep", type=float, default=0.2)
-    p.add_argument("-sigmaZero", type=float, default=1.0)
+    p.add_argument("-sigmaStep", type=float, default=0.1)
+    p.add_argument("-sigmaZero", type=float, default=0.1)
     p.add_argument("-setSeed", type=int, default=-1)
     p.add_argument("-unPolarized", action="store_true")
     p.add_argument("-divergenceAscertainment", action="store_true")

@@ -17,6 +17,8 @@ reconstruction is validated against the reference's own seeded goldens
 
 from __future__ import annotations
 
+import numpy as _np
+
 import os
 
 import numpy as np
@@ -283,7 +285,9 @@ class GoRand:
             else:
                 j_signed = j
             i = j & 0x7F
-            x = j_signed * _WN[i]
+            # Go's tables are [128]float32 and the rejection test runs in
+            # float32 (normal.go:42,55) — replicate with np.float32
+            x = j_signed * float(_WN[i])
             if abs(j_signed) < _KN[i]:
                 return x
             if i == 0:
@@ -296,8 +300,8 @@ class GoRand:
                 if j_signed > 0:
                     return x
                 return -x
-            if _FN[i] + self.float64() * (_FN[i - 1] - _FN[i]) < \
-                    math.exp(-0.5 * x * x):
+            if _FN[i] + _np.float32(self.float64()) * (_FN[i - 1] - _FN[i]) \
+                    < _np.float32(math.exp(-0.5 * x * x)):
                 return x
 
     def exp_float64(self) -> float:
@@ -307,13 +311,14 @@ class GoRand:
         while True:
             j = self.uint32()
             i = j & 0xFF
-            x = j * _WE[i]
+            # float32 tables + float32 rejection test (exp.go:36,46)
+            x = j * float(_WE[i])
             if j < _KE[i]:
                 return x
             if i == 0:
                 return _RE - math.log(self.float64())
-            if _FE[i] + self.float64() * (_FE[i - 1] - _FE[i]) < \
-                    math.exp(-x):
+            if _FE[i] + _np.float32(self.float64()) * (_FE[i - 1] - _FE[i]) \
+                    < _np.float32(math.exp(-x)):
                 return x
 
 
@@ -345,7 +350,8 @@ def _norm_tables():
         tn = dn
         fn[i] = math.exp(-0.5 * dn * dn)
         wn[i] = dn / m1
-    return kn, wn, fn
+    # Go hardcodes wn/fn as [128]float32 literals (normal.go:88-157)
+    return kn, _np.float32(wn), _np.float32(fn)
 
 
 _KN, _WN, _FN = _norm_tables()
@@ -375,7 +381,8 @@ def _exp_tables():
         te = de
         fe[i] = math.exp(-de)
         we[i] = de / m2
-    return ke, we, fe
+    # Go hardcodes we/fe as [256]float32 literals (exp.go:61-221)
+    return ke, _np.float32(we), _np.float32(fe)
 
 
 _KE, _WE, _FE = _exp_tables()

@@ -545,9 +545,23 @@ def _prior_prob(mu: float, sigma: float, s: McmcSettings) -> float:
 
 def metropolis_hastings(data: Afs, out_file: str, s: McmcSettings,
                         rng) -> None:
-    """popgen.MetropolisHastings (mcmcSelection.go:139) with numpy RNG
-    (Go math/rand stream not reproducible; trace is per-seed stable)."""
+    """popgen.MetropolisHastings (mcmcSelection.go:148). rng may be a
+    GoRand (byte parity with the reference trace goldens: draw order per
+    iteration is sigmaPrime, muPrime, one normal per site, then the
+    log-uniform accept draw) or a numpy Generator."""
     from . import fileio
+
+    is_go = hasattr(rng, "float64")
+
+    def norm(mu_, sigma_):
+        # SampleInverseNormal (monteCarlo.go:10); negative sigma flips
+        # sign exactly as in the reference
+        if is_go:
+            return rng.norm_float64() * sigma_ + mu_
+        return float(rng.standard_normal()) * sigma_ + mu_
+
+    def unif():
+        return rng.float64() if is_go else float(rng.random())
 
     all_n = sorted({site.n for site in data.sites})
     cache = build_binom_cache(all_n)
@@ -561,7 +575,7 @@ def metropolis_hastings(data: Afs, out_file: str, s: McmcSettings,
             return afs_likelihood(data, alphas, cache, s.integral_error)
 
     mu, sigma = s.mu_zero, s.sigma_zero
-    alphas = rng.normal(mu, sigma, len(data.sites))
+    alphas = [norm(mu, sigma) for _ in data.sites]
     prior = _prior_prob(mu, sigma, s)
     if prior == float("-inf"):
         raise SystemExit("Initial theta set is too overdispersed to have "
@@ -572,11 +586,10 @@ def metropolis_hastings(data: Afs, out_file: str, s: McmcSettings,
         out.write("Iteration\tMu\tSigma\tAccept\n")
         for it in range(s.iterations):
             sigma_prime = (sigma if s.fixed_sigma
-                           else rng.normal(sigma, s.sigma_step))
-            mu_prime = rng.normal(mu, s.mu_step)
-            alphas_prime = rng.normal(mu_prime, abs(sigma_prime),
-                                      len(data.sites)) \
-                if sigma_prime >= 0 else alphas
+                           else norm(sigma, s.sigma_step))
+            mu_prime = norm(mu, s.mu_step)
+            alphas_prime = [norm(mu_prime, sigma_prime)
+                            for _ in data.sites]
             prior_prime = _prior_prob(mu_prime, sigma_prime, s)
             lik_prime = (float("-inf") if prior_prime == float("-inf")
                          else likelihood(alphas_prime))
@@ -584,7 +597,7 @@ def metropolis_hastings(data: Afs, out_file: str, s: McmcSettings,
                 p_accept = float("-inf")
             else:
                 p_accept = (lik_prime - lik) + (prior_prime - prior)
-            accept = p_accept > math.log(rng.random())
+            accept = p_accept > math.log(unif())
             if accept:
                 mu, sigma, alphas = mu_prime, sigma_prime, alphas_prime
                 prior, lik = prior_prime, lik_prime

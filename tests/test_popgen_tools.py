@@ -1,6 +1,8 @@
 """popgen CLI batch: selectionMle golden, dunnIndex golden,
 mcmcTraceStats golden, selectionMcmc/simulateWrightFisher property."""
 
+import os
+
 import pytest
 
 from gonomics_tpu import fileio, popgen
@@ -135,3 +137,22 @@ def test_simulate_wright_fisher_reference_goldens(tmp_path):
                            fitness_string="1,1.05,0.95,0.95,A",
                            set_seed=20)
     assert fileio.are_equal(out, f"{td}/expected_with_fitnessString.tsv")
+
+
+def test_selection_mcmc_reference_goldens(tmp_path):
+    td = f"{REF}/selectionMcmc/testdata"
+    if not os.path.isdir(td):
+        pytest.skip("reference testdata not present")
+    from gonomics_tpu.cli.popgen_tools import selection_mcmc
+
+    for expected, inc in [("expected.trace.txt", False),
+                          ("expected.includeRef.trace.txt", True)]:
+        out = str(tmp_path / expected)
+        s = popgen.McmcSettings(
+            iterations=100, mu_zero=-5, sigma_zero=0.1, mu_step=0.2,
+            sigma_step=0.1, integral_error=1e-7, sigma_prior_alpha=2,
+            sigma_prior_beta=10, mu_prior_mean=0, mu_prior_sigma=3,
+            include_ref=inc)
+        selection_mcmc(f"{td}/N100.S20.AlphaMinus10.Seed20.vcf", out, s, 1)
+        with open(out) as f, open(f"{td}/{expected}") as g:
+            assert f.read() == g.read()
