@@ -211,3 +211,113 @@ def example_step_inputs(mesh: Mesh, *, B: int, n: int, m: int,
     data_sh = NamedSharding(mesh, P("data", None))
     return tuple(jax.device_put(x, data_sh)
                  for x in (alpha, beta, fin, pos, base, valid))
+
+
+def shard_seq_affine_score(mesh: Mesh, scores, *, n: int, m: int,
+                           gap_open: int, gap_extend: int):
+    """Sequence-parallel affine-gap scoring: the anti-diagonal wavefront
+    with its LANE axis (s = query position) sharded over the "seq" mesh
+    axis — SURVEY.md §5's long-context design ("anti-diagonal wavefront
+    over length-sharded sequences, cross-shard boundary exchange over
+    ICI, halo = one anti-diagonal").
+
+    Each device owns a contiguous band of wavefront lanes. Per diagonal
+    the only cross-device dependency is the s-1 lane shift of the two
+    gap/match source rows, so ONE ppermute of a (B, 2) halo rides ICI
+    per step; everything else is device-local VPU work. Pure-XLA
+    (lax.scan) formulation — the Pallas kernel stays single-chip; this
+    path is for alignments whose wavefront state exceeds one chip.
+    Recurrences/boundaries follow the reference (affineGap.go:158-207).
+
+    Returns a jitted fn(alpha_pad (B, n) int8, beta_pad (B, m) int8,
+    fin_d (B, 1) int32, n_vec (B, 1) int32) -> (B,) int32: the global
+    alignment score H[n_b][m_b], captured at lane n_b of diagonal fin_d
+    (= n_b + m_b), exactly like the single-chip score path
+    (align/pairwise.py affine_gap_batch).
+    """
+    from ..ops.wavefront import NEG
+
+    n_seq = mesh.shape["seq"]
+    S = -(-(n + 1) // n_seq) * n_seq
+    s_loc = S // n_seq
+    sc_mat = jnp.asarray(np.asarray(scores), jnp.int32)
+    go = jnp.int32(gap_open)
+    ge = jnp.int32(gap_extend)
+    d_total = n + m
+    W = 2 * S + m + 8
+    perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+
+    def local(al_loc, br_pad, fin, nvec):
+        B = al_loc.shape[0]
+        seq_idx = jax.lax.axis_index("seq")
+        base = seq_idx * s_loc
+        s_idx = base + jax.lax.broadcasted_iota(jnp.int32, (B, s_loc), 1)
+        codes = jnp.clip(al_loc.astype(jnp.int32), 0, 4)
+        profiles = [sc_mat[a][codes] for a in range(5)]
+        neg = jnp.full((B, s_loc), NEG, jnp.int32)
+
+        at0 = s_idx == 0
+        m0 = jnp.where(at0, 0, NEG)
+        i0 = jnp.where(at0, go, NEG)
+        d0 = jnp.where(at0, go, NEG)
+
+        def shifted(x, halo):
+            return jnp.concatenate([halo[:, None], x[:, :-1]], axis=1)
+
+        def step(carry, d):
+            m1, i1, d1, m2, i2, d2, res = carry
+            off = m - d + S + base
+            be = jax.lax.dynamic_slice(br_pad, (0, off), (B, s_loc))
+            be = be.astype(jnp.int32)
+            sc = jnp.where(be == 0, profiles[0],
+                 jnp.where(be == 1, profiles[1],
+                 jnp.where(be == 2, profiles[2],
+                 jnp.where(be == 3, profiles[3], profiles[4]))))
+            h2 = jnp.maximum(jnp.maximum(m2, i2), d2)
+            g1 = jnp.maximum(go + ge + jnp.maximum(m1, i1), ge + d1)
+            # one (B, 2) halo per diagonal: my last lane -> right neighbor
+            pack = jnp.stack([h2[:, -1], g1[:, -1]], axis=-1)
+            halo = jax.lax.ppermute(pack, "seq", perm)
+            # device 0's wrapped halo only reaches global lane 0, which
+            # the row0/interior masks overwrite
+            m_new = sc + shifted(h2, halo[:, 0])
+            i_new = jnp.maximum(jnp.maximum(go + ge + m1, ge + i1),
+                                go + ge + d1)
+            d_new = shifted(g1, halo[:, 1])
+            interior = (s_idx >= jnp.maximum(1, d - m)) & \
+                       (s_idx <= jnp.minimum(d - 1, n))
+            row0 = (s_idx == 0) & (d <= m)
+            col0 = (s_idx == d) & (d <= n)
+            bnd = go + ge * d
+            m_new = jnp.where(interior, m_new, NEG)
+            i_new = jnp.where(interior, i_new, jnp.where(row0, bnd, NEG))
+            d_new = jnp.where(interior, d_new, jnp.where(col0, bnd, NEG))
+            fin_here = (fin == d) & (s_idx == nvec)
+            res = jnp.where(
+                fin_here,
+                jnp.maximum(jnp.maximum(m_new, i_new), d_new), res)
+            return (m_new, i_new, d_new, m1, i1, d1, res), None
+
+        carry = (m0, i0, d0, neg, neg, neg, neg)
+        carry, _ = jax.lax.scan(step, carry,
+                                jnp.arange(1, d_total + 1, dtype=jnp.int32))
+        best = jnp.max(carry[6], axis=1)
+        return jax.lax.pmax(best, "seq")
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, None), P(None, None),
+                  P(None, None)),
+        out_specs=P(None),
+        check_vma=False)
+
+    @jax.jit
+    def run(alpha_pad, beta_pad, fin_d, n_vec):
+        B = alpha_pad.shape[0]
+        al = jnp.full((B, S), 4, jnp.int8)
+        al = jax.lax.dynamic_update_slice(al, alpha_pad, (0, 1))
+        br = jnp.full((B, W), 4, jnp.int8)
+        br = jax.lax.dynamic_update_slice(br, beta_pad[:, ::-1], (0, S))
+        return sharded(al, br, fin_d, n_vec)
+
+    return run

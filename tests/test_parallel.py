@@ -124,3 +124,37 @@ def test_init_distributed_single_process():
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=120, cwd="/root/repo")
     assert "DIST_OK" in r.stdout, r.stderr
+
+
+def test_shard_seq_affine_score_matches_oracle():
+    # SURVEY §5 long-context design: lane-sharded wavefront, one ppermute
+    # halo per diagonal, validated against the numpy oracle on the
+    # 8-virtual-device mesh (all 8 devices on the "seq" axis)
+    from gonomics_tpu.align import oracle
+    from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
+    from gonomics_tpu.parallel import shard_seq_affine_score
+
+    mesh = make_mesh(8, data=1, seq=8)
+    rng = np.random.default_rng(11)
+    n, m = 40, 52
+    lens = [(40, 52), (33, 29), (40, 1), (7, 52)]
+    B = len(lens)
+    alpha = np.full((B, n), 4, np.int8)
+    beta = np.full((B, m), 4, np.int8)
+    fin = np.zeros((B, 1), np.int32)
+    nv = np.zeros((B, 1), np.int32)
+    pairs = []
+    for b, (nb, mb) in enumerate(lens):
+        a = rng.integers(0, 4, nb).astype(np.int8)
+        bb = rng.integers(0, 4, mb).astype(np.int8)
+        alpha[b, :nb] = a
+        beta[b, :mb] = bb
+        fin[b, 0] = nb + mb
+        nv[b, 0] = nb
+        pairs.append((a, bb))
+    fn = shard_seq_affine_score(mesh, HUMAN_CHIMP_TWO, n=n, m=m,
+                                gap_open=-600, gap_extend=-150)
+    got = np.asarray(fn(alpha, beta, fin, nv))
+    want = [oracle.affine_gap(a, b, HUMAN_CHIMP_TWO, -600, -150)[0]
+            for a, b in pairs]
+    assert got.tolist() == want
