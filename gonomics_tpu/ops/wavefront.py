@@ -325,6 +325,11 @@ def wavefront_local(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
         scratch_shapes=[pltpu.VMEM((2, B, S), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # trace-mode at B=256 sits right at the 16MB default scoped-
+            # vmem limit (q rows + 2-slot state + result rows + the
+            # double-buffered trace block total ~17MB); v5e has far more
+            # physical VMEM, so raise the Mosaic cap explicitly.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(n_vec, m_vec, br, *profiles)
@@ -476,6 +481,11 @@ def _affine_fwd_chunked_call(Sc: int, *, n: int, m: int, gap_open: int,
         scratch_shapes=[pltpu.VMEM((2, 8, Sc), jnp.int32) for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # trace-mode at B=256 sits right at the 16MB default scoped-
+            # vmem limit (q rows + 2-slot state + result rows + the
+            # double-buffered trace block total ~17MB); v5e has far more
+            # physical VMEM, so raise the Mosaic cap explicitly.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -566,6 +576,11 @@ def _affine_bwd_window_call(B: int, W: int, *, n: int, m: int,
         scratch_shapes=[pltpu.VMEM((2, B, W), jnp.int32) for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # trace-mode at B=256 sits right at the 16MB default scoped-
+            # vmem limit (q rows + 2-slot state + result rows + the
+            # double-buffered trace block total ~17MB); v5e has far more
+            # physical VMEM, so raise the Mosaic cap explicitly.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -763,6 +778,11 @@ def wavefront_align(alpha_pad, beta_pad, fin_d, scores, *, n: int, m: int,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # trace-mode at B=256 sits right at the 16MB default scoped-
+            # vmem limit (q rows + 2-slot state + result rows + the
+            # double-buffered trace block total ~17MB); v5e has far more
+            # physical VMEM, so raise the Mosaic cap explicitly.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fin_d, br, *profiles)
