@@ -189,7 +189,7 @@ sharded, r8 = rps(make_mesh(8, data=8, seq=1))
 print("EQUAL" if single == sharded else "DIFFER", round(r1), round(r8))
 """
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=900,
+                         text=True, timeout=420,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
     try:
         tok = out.stdout.strip().split("\n")[-1].split()
@@ -202,29 +202,47 @@ print("EQUAL" if single == sharded else "DIFFER", round(r1), round(r8))
 
 
 def main() -> None:
-    base = measure_baseline()
-    check_compiled_parity()
-    tpu = measure_tpu()
-    # B=256 with trace overflows VMEM (3 result rows + trace block buffers
-    # on top of the 6 scratch rows); 128 pairs fit
-    tpu_trace = measure_tpu(B=128, with_trace=True)
-    rps = measure_reads_per_s()
-    multi = measure_multichip_virtual()
+    # Each stage is fenced: one failure (e.g. a wedged TPU tunnel or a
+    # compile regression) must not cost the whole JSON line.
     out = {
         "metric": "affine_gap_gcups",
-        "value": round(tpu / 1e9, 2),
+        "value": None,
         "unit": "GCUPS",
-        "vs_baseline": round(tpu / base, 1),
-        "baseline_gcups": round(base / 1e9, 3),
+        "vs_baseline": None,
         "baseline": "single-thread C++ Gotoh (Go-reference class), this host",
         "config": "B=256 pairs, 1024x1024, humanChimpTwo, score-only",
-        "trace_gcups": round(tpu_trace / 1e9, 2),
-        "trace_config": "B=128, 1024x1024, with traceback (BASELINE cfg 2)",
-        "compiled_parity": "device scores == numpy oracle (B=8, L=96)",
-        "reads_per_s_1chip": round(rps),
-        "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM",
-        "multichip": multi,
     }
+    base = None
+    try:
+        base = measure_baseline()
+        out["baseline_gcups"] = round(base / 1e9, 3)
+    except Exception as e:  # noqa: BLE001
+        out["baseline_error"] = str(e)[-200:]
+    try:
+        check_compiled_parity()
+        out["compiled_parity"] = "device scores == numpy oracle (B=8, L=96)"
+        tpu = measure_tpu()
+        out["value"] = round(tpu / 1e9, 2)
+        if base:
+            out["vs_baseline"] = round(tpu / base, 1)
+    except Exception as e:  # noqa: BLE001
+        out["tpu_error"] = str(e)[-300:]
+    try:
+        tpu_trace = measure_tpu(B=128, with_trace=True)
+        out["trace_gcups"] = round(tpu_trace / 1e9, 2)
+        out["trace_config"] = "B=128, 1024x1024, with traceback (BASELINE cfg 2)"
+    except Exception as e:  # noqa: BLE001
+        out["trace_error"] = str(e)[-300:]
+    try:
+        rps = measure_reads_per_s()
+        out["reads_per_s_1chip"] = round(rps)
+        out["reads_config"] = "150bp x 2048/batch, 1Mbp genome, end-to-end SAM"
+    except Exception as e:  # noqa: BLE001
+        out["reads_error"] = str(e)[-300:]
+    try:
+        out["multichip"] = measure_multichip_virtual()
+    except Exception as e:  # noqa: BLE001
+        out["multichip"] = {"error": str(e)[-300:]}
     print(json.dumps(out))
 
 
