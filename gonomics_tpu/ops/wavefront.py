@@ -77,10 +77,11 @@ def _beta_codes(br_ref, d, m_pad: int, s_size: int, S: int):
 
 
 def _select_score(be, q0, q1, q2, q3, q4):
-    return jnp.where(be == 0, q0[...],
-           jnp.where(be == 1, q1[...],
-           jnp.where(be == 2, q2[...],
-           jnp.where(be == 3, q3[...], q4[...]))))
+    # balanced select tree: depth 2/3 instead of a 4-deep chain, so the
+    # VPU can evaluate the two halves in parallel
+    lo = jnp.where(be == 0, q0[...], q1[...])
+    hi = jnp.where(be == 2, q2[...], jnp.where(be == 3, q3[...], q4[...]))
+    return jnp.where(be < 2, lo, hi)
 
 
 def _affine_kernel(fin_ref, br_ref, q0, q1, q2, q3, q4, *rest,
