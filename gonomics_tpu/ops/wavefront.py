@@ -37,6 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2 ** 30)  # veryNegNum analog; int32-safe against further adds
 
+# Mosaic's default scoped-vmem cap is 16MB; the large-batch trace-mode
+# configurations (q rows + 2-slot state + result rows + the double-
+# buffered trace block) cross it, and v5e has far more physical VMEM.
+# One raised cap shared by every wavefront kernel.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 # TPU kernel compiles are expensive through the remote-compile tunnel on
 # this machine (30s+); persist them across processes.
 try:
@@ -326,11 +332,7 @@ def wavefront_local(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
         scratch_shapes=[pltpu.VMEM((2, B, S), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # trace-mode at B=256 sits right at the 16MB default scoped-
-            # vmem limit (q rows + 2-slot state + result rows + the
-            # double-buffered trace block total ~17MB); v5e has far more
-            # physical VMEM, so raise the Mosaic cap explicitly.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(n_vec, m_vec, br, *profiles)
@@ -482,11 +484,7 @@ def _affine_fwd_chunked_call(Sc: int, *, n: int, m: int, gap_open: int,
         scratch_shapes=[pltpu.VMEM((2, 8, Sc), jnp.int32) for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # trace-mode at B=256 sits right at the 16MB default scoped-
-            # vmem limit (q rows + 2-slot state + result rows + the
-            # double-buffered trace block total ~17MB); v5e has far more
-            # physical VMEM, so raise the Mosaic cap explicitly.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )
@@ -577,11 +575,7 @@ def _affine_bwd_window_call(B: int, W: int, *, n: int, m: int,
         scratch_shapes=[pltpu.VMEM((2, B, W), jnp.int32) for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # trace-mode at B=256 sits right at the 16MB default scoped-
-            # vmem limit (q rows + 2-slot state + result rows + the
-            # double-buffered trace block total ~17MB); v5e has far more
-            # physical VMEM, so raise the Mosaic cap explicitly.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )
@@ -720,6 +714,209 @@ def affine_gap_lowmem(alpha, beta, scores, gap_open: int, gap_extend: int,
     return score, ops_back, i_cur, j_cur
 
 
+def _affine_stream_kernel(brC_hbm, q0_hbm, q1_hbm, res_ref,
+                          brv, qv, mbuf, ibuf, dbuf, sem_b, sem_q, *,
+                          n_pad: int, m_pad: int, fin: int, go: int, ge: int,
+                          g: int, s_size: int, P: int):
+    """Two-pairs-per-lane streamed affine wavefront (score mode).
+
+    P pairs flow through one (B, S) lane set with a stagger of g = m_pad+1
+    diagonals: at grid step t the "young" pair p_hi = t//g computes its
+    diagonal dy = t - p_hi*g + 1 on lanes [0, dy] while the "old" pair
+    p_hi-1 computes diagonal dy+g on lanes [dy+1, n]. Because lane bounds
+    move one lane per step, each pair's reads always land in its own
+    previously written lanes; with m_pad >= n the old pair provably has no
+    boundary cells, so the masks stay single-phase cost. This fills the
+    triangular ramp that held the plain kernel to ~44% average lane
+    occupancy (PERF_NOTES.md): occupancy here is (n+1)/S.
+
+    brC is a per-pair COMBINED reversed-beta buffer: in window coordinates
+    the young/old ownership boundary sits at the constant position
+    Y* = m_pad + S, so brC_p[:Y*+1] holds pair p's codes and brC_p[Y*+1:]
+    holds pair p-1's codes shifted by g — one window load + roll serves
+    both pairs. Per-pair data (profiles stacked (5, B, S) per pair, brC)
+    lives in HBM (ANY) and is DMAed into VMEM scratch manually at
+    pair-switch steps only — pallas's own grid-mapped pipelining re-DMAs
+    revisited blocks every step here, which made a first cut of this
+    kernel HBM-bound (~12MB/step); the manual copies amortize to ~0.2%.
+
+    Requires g even (m_pad odd) so both active diagonals share parity, and
+    m_pad >= n (pad beta up; junk columns never feed real cells)."""
+    t = pl.program_id(0)
+    _, _, B, S = q0_hbm.shape
+    Pp = q0_hbm.shape[0]
+    go_ = jnp.int32(go)
+    ge_ = jnp.int32(ge)
+    p_hi = t // g
+    dy = t - p_hi * g + 1
+    do = dy + g
+    phase_y = jax.lax.rem(p_hi, 2)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), dimension=1)
+
+    @pl.when(jax.lax.rem(t, g) == 0)
+    def _load_pair_blocks():
+        pc = jnp.clip(p_hi, 0, P)
+        cp = pltpu.make_async_copy(brC_hbm.at[pc], brv, sem_b)
+        cp.start()
+        blk = jnp.clip(p_hi // 2, 0, Pp - 1)
+
+        @pl.when(phase_y == 0)
+        def _():
+            cq = pltpu.make_async_copy(q0_hbm.at[blk], qv.at[0], sem_q)
+            cq.start()
+            cq.wait()
+
+        @pl.when(phase_y == 1)
+        def _():
+            cq = pltpu.make_async_copy(q1_hbm.at[blk], qv.at[1], sem_q)
+            cq.start()
+            cq.wait()
+
+        cp.wait()
+
+    @pl.when(t == 0)
+    def _load_other_phase():
+        cq = pltpu.make_async_copy(q1_hbm.at[0], qv.at[1], sem_q)
+        cq.start()
+        cq.wait()
+
+    cur = jax.lax.rem(t + 1, 2)  # == dy % 2 == do % 2 (g even)
+    prv = 1 - cur
+    m1, i1, d1 = mbuf[prv], ibuf[prv], dbuf[prv]   # diagonal d-1
+    m2, i2, d2 = mbuf[cur], ibuf[cur], dbuf[cur]   # diagonal d-2
+
+    be = _beta_codes(brv, dy, m_pad, s_size, S)
+    ym = s_idx <= dy
+    is_p0 = ym == (phase_y == 0)
+    qc0 = jnp.where(is_p0, qv[0, 0], qv[1, 0])
+    qc1 = jnp.where(is_p0, qv[0, 1], qv[1, 1])
+    qc2 = jnp.where(is_p0, qv[0, 2], qv[1, 2])
+    qc3 = jnp.where(is_p0, qv[0, 3], qv[1, 3])
+    qc4 = jnp.where(is_p0, qv[0, 4], qv[1, 4])
+    lo = jnp.where(be == 0, qc0, qc1)
+    hi = jnp.where(be == 2, qc2, jnp.where(be == 3, qc3, qc4))
+    sc = jnp.where(be < 2, lo, hi)
+
+    m2s, i2s, d2s = _shift(m2), _shift(i2), _shift(d2)
+    m_new = sc + _max3(m2s, i2s, d2s)
+    i_new = _max3(go_ + ge_ + m1, ge_ + i1, go_ + ge_ + d1)
+    m1s, i1s, d1s = _shift(m1), _shift(i1), _shift(d1)
+    d_new = _max3(go_ + ge_ + m1s, go_ + ge_ + i1s, ge_ + d1s)
+
+    # lanes [1, n] minus the young col0 lane are interior for whichever
+    # pair owns them; the old pair (do > m_pad) never has boundary cells
+    valid = (s_idx >= 1) & (s_idx <= n_pad) & (s_idx != dy)
+    row0 = (s_idx == 0) & (dy <= m_pad)
+    col0 = s_idx == dy
+    bnd = go_ + ge_ * dy
+    m_new = jnp.where(valid, m_new, NEG)
+    i_new = jnp.where(valid, i_new, jnp.where(row0, bnd, NEG))
+    d_new = jnp.where(valid, d_new, jnp.where(col0, bnd, NEG))
+
+    mbuf[cur] = m_new
+    ibuf[cur] = i_new
+    dbuf[cur] = d_new
+
+    @pl.when(dy == 1)
+    def _inject_origin():
+        # the young pair's cell (0,0) lives on diagonal 0 = slot prv
+        at0 = s_idx == 0
+        mbuf[prv] = jnp.where(at0, 0, m1)
+        ibuf[prv] = jnp.where(at0, go_, i1)
+        dbuf[prv] = jnp.where(at0, go_, d1)
+
+    # capture: the pair whose diagonal hits fin writes its 128-lane result
+    # window (the one containing lane n) into its slot of res
+    col0 = (n_pad // 128) * 128
+    d_ph0 = jnp.where(phase_y == 0, dy, do)
+    d_ph1 = dy + do - d_ph0
+    p_ph0 = jnp.clip(2 * (p_hi // 2), 0, P - 1)
+    p_ph1 = jnp.clip(2 * ((p_hi - 1) // 2) + 1, 0, P - 1)
+
+    @pl.when(d_ph0 == fin)
+    def _cap0():
+        res_ref[pl.ds(p_ph0, 1)] = _max3(m_new, i_new, d_new)[
+            None, :, col0:col0 + 128]
+
+    @pl.when(d_ph1 == fin)
+    def _cap1():
+        res_ref[pl.ds(p_ph1, 1)] = _max3(m_new, i_new, d_new)[
+            None, :, col0:col0 + 128]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "m", "gap_open", "gap_extend", "interpret"))
+def wavefront_affine_stream(alpha, beta, scores, *, n: int, m: int,
+                            gap_open: int, gap_extend: int,
+                            interpret: bool = False):
+    """Streamed score-mode affine alignment: alpha (P, B, n) int8,
+    beta (P, B, m) int8 with P even and m >= n. Returns (P, B) int32
+    scores of cell (n, m) — the global affine-gap score (same contract as
+    wavefront_align score mode at the (n, m) lane, affineGap.go:151-207).
+
+    Grid length is (P-1)*(m_pad+1) + n + m_pad steps for P*B pairs vs
+    P*(n+m) steps batch-sequential — ~2x throughput at n == m."""
+    P, B, _ = alpha.shape
+    if P % 2:
+        raise ValueError("stream kernel needs an even pair count P")
+    if m < n:
+        raise ValueError("stream kernel needs m >= n (swap operands)")
+    S = _round_up(n + 1, 128)
+    m_pad = m if m % 2 == 1 else m + 1
+    g = m_pad + 1
+    fin = n + m
+    Pp = P // 2
+
+    if m_pad > m:
+        beta = jnp.concatenate(
+            [beta, jnp.full((P, B, m_pad - m), 4, jnp.int8)], axis=2)
+
+    def build(a, b):
+        return _build_inputs(a, b, scores, S, m_pad)
+
+    profiles, fulls = jax.vmap(build)(alpha, beta)
+    Wb = fulls.shape[-1]
+    Ystar = m_pad + S
+    # block p serves young pair p (lower region) + old pair p-1 (upper
+    # region, codes shifted by g); block P serves the tail where the
+    # "young" slot is a phantom and pair P-1 is the old pair.
+    young = jnp.concatenate([fulls, fulls[-1:]], axis=0)
+    upper = jnp.concatenate([fulls[:1], fulls], axis=0)  # pair p-1
+    brC = jnp.concatenate(
+        [young[:, :, :Ystar + 1], upper[:, :, S:S + (Wb - Ystar - 1)]],
+        axis=2)
+    qstack = jnp.stack(profiles, axis=1)  # (P, 5, B, S)
+    q_ph0, q_ph1 = qstack[0::2], qstack[1::2]
+
+    T = (P - 1) * g + n + m_pad
+
+    kern = functools.partial(_affine_stream_kernel, n_pad=n, m_pad=m_pad,
+                             fin=fin, go=gap_open, ge=gap_extend, g=g,
+                             s_size=S, P=P)
+    res = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, B, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((B, Wb), jnp.int8),
+            pltpu.VMEM((2, 5, B, S), jnp.int32),
+            pltpu.VMEM((2, B, S), jnp.int32),
+            pltpu.VMEM((2, B, S), jnp.int32),
+            pltpu.VMEM((2, B, S), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(brC, q_ph0, q_ph1)
+    return res[:, :, n - (n // 128) * 128]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n", "m", "gap_open", "gap_extend", "with_trace", "mode", "interpret"))
 def wavefront_align(alpha_pad, beta_pad, fin_d, scores, *, n: int, m: int,
@@ -779,11 +976,7 @@ def wavefront_align(alpha_pad, beta_pad, fin_d, scores, *, n: int, m: int,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # trace-mode at B=256 sits right at the 16MB default scoped-
-            # vmem limit (q rows + 2-slot state + result rows + the
-            # double-buffered trace block total ~17MB); v5e has far more
-            # physical VMEM, so raise the Mosaic cap explicitly.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(fin_d, br, *profiles)
