@@ -52,6 +52,10 @@ def _align_tpu(args) -> None:
 
     from ..tpu_align import TpuReadAligner
 
+    if args.files[0].endswith((".gg", ".sg")):
+        _align_tpu_graph(args)
+        return
+
     mesh = None
     if args.multihost:
         from ..parallel import init_distributed
@@ -73,11 +77,19 @@ def _align_tpu(args) -> None:
         for line in al.header().text:
             out.write(line + "\n")
 
+    import time
+
+    t0 = time.perf_counter()
+    n_done = 0
+
     def emit(sams) -> None:
+        nonlocal n_done
         for s in sams:
             out.write(s.to_string() + "\n")
         if sharded_out:
             out.write("#BATCH\n")
+        n_done += len(sams)
+        _progress("gsw", n_done, t0)
 
     # double-buffer: batch i+1's host-side seeding overlaps batch i's
     # device DP (async dispatch); finish_batch blocks on the result
@@ -107,6 +119,7 @@ def _align_tpu(args) -> None:
             pending = handle
         if pending is not None:
             emit(al.finish_batch(pending))
+    _progress("gsw", n_done, t0, final=True)
     if out_path not in ("-", "/dev/stdout", "stdout"):
         out.close()
     if sharded_out:
@@ -120,6 +133,73 @@ def _align_tpu(args) -> None:
                 args.out,
                 [f"{args.out}.shard{p}" for p in range(nproc)],
                 header_lines=al.header().text)
+
+
+def _align_tpu_graph(args) -> None:
+    """Graph (.gg/.sg) references on the TPU engine: host DAG traversal
+    + batched device extension DP (gsw_tpu.TpuGswAligner), bit-identical
+    giraf/SAM output to the host engine."""
+    import time
+
+    from ..gsw_tpu import TpuGswAligner
+
+    g, names = _load_reference(args.files[0])
+    aligner = TpuGswAligner(g, seed_len=args.index, step_size=args.window,
+                            scores=_select_matrix(args.matrix),
+                            node_names=names)
+    host = aligner.host
+    paired = len(args.files) == 3
+    to_sam = args.liftover.endswith(".sizes")
+
+    out = fileio.easy_create(args.out)
+    if to_sam:
+        chroms = read_to_slice(args.liftover)
+        for line in (["@HD\tVN:1.6\tSO:unsorted"]
+                     + [f"@SQ\tSN:{c.name}\tLN:{c.size}" for c in chroms]):
+            out.write(line + "\n")
+
+    t0 = time.perf_counter()
+    n_reads = 0
+    if paired:
+        pairs = fastqio.read_pairs_big(args.files[1], args.files[2])
+        for i in range(0, len(pairs), args.batch):
+            for a, b in aligner.align_pair_batch(pairs[i:i + args.batch]):
+                if to_sam:
+                    sa, sb = host.pair_to_sam(a, b)
+                    out.write(sa.to_string() + "\n")
+                    out.write(sb.to_string() + "\n")
+                else:
+                    out.write(girafio.to_string(a) + "\n")
+                    out.write(girafio.to_string(b) + "\n")
+            n_reads += 2 * len(pairs[i:i + args.batch])
+            _progress("gsw", n_reads, t0)
+    else:
+        reads = [fastqio.to_big(fq) for fq in fastqio.read(args.files[1])]
+        for i in range(0, len(reads), args.batch):
+            for a in aligner.align_batch(reads[i:i + args.batch]):
+                a.flag = host._giraf_flags(a)
+                if to_sam:
+                    out.write(host.giraf_to_sam(a).to_string() + "\n")
+                else:
+                    out.write(girafio.to_string(a) + "\n")
+            n_reads += len(reads[i:i + args.batch])
+            _progress("gsw", n_reads, t0)
+    if args.out not in ("-", "/dev/stdout", "stdout"):
+        out.close()
+    _progress("gsw", n_reads, t0, final=True)
+
+
+def _progress(tool: str, n: int, t0: float, final: bool = False) -> None:
+    """Per-stage reads/s + wall-clock line, the reference's pipeline
+    summary (cmd/gsw/pairedEndFastqs.go:69-72,
+    genomeGraph/genomeGraph_test.go:57)."""
+    import sys as _sys
+    import time as _time
+
+    dt = max(_time.perf_counter() - t0, 1e-9)
+    tag = "finished" if final else "progress"
+    print(f"{tool}: {tag} {n} reads in {dt:.1f}s ({n / dt:.0f} reads/s)",
+          file=_sys.stderr)
 
 
 def align_cmd(args) -> None:

@@ -214,6 +214,19 @@ def _append_soft_clips(front: int, read_len: int,
     return out
 
 
+@dataclass
+class AlnState:
+    """Carried state of the per-seed alignment loop (the reference's
+    scoreKeeper, toGiraf.go:17-72), so the loop can be resumed wave-by-
+    wave by the batched TPU engine (gsw_tpu.TpuGswAligner)."""
+    best: Giraf
+    perfect: int
+    extension: int
+    seeds: list[Seed]
+    q_end: int = 0
+    done: bool = False
+
+
 class GswAligner:
     def __init__(self, graph: GenomeGraph, seed_len: int = 32,
                  step_size: int = 32, scores: np.ndarray = HUMAN_CHIMP_TWO,
@@ -228,6 +241,19 @@ class GswAligner:
          self.least_change) = mismatch_stats(self.scores)
         self._match_score = np.array(
             [int(self.scores[i][i]) for i in range(5)] + [0] * 8, np.int64)
+        # pluggable extension-DP provider: None = numpy host DP; the TPU
+        # engine swaps in a recorder/replayer (ops/gsw_dp.py)
+        self._provider = None
+
+    def _dp_left(self, window: np.ndarray, read_part: np.ndarray):
+        if self._provider is not None:
+            return self._provider.left(window, read_part)
+        return left_dynamic_aln(window, read_part, self.scores)
+
+    def _dp_right(self, window: np.ndarray, read_part: np.ndarray):
+        if self._provider is not None:
+            return self._provider.right(window, read_part)
+        return right_dynamic_aln(window, read_part, self.scores)
 
     # ---- exact-match counting (dnaTwoBit perfectAlign analog) ----
 
@@ -305,21 +331,20 @@ class GswAligner:
 
     def _kmer_codes(self, seq: np.ndarray):
         """2-bit rolling codes for every window. Returns (codes uint64,
-        valid bool) — windows containing N are invalid (never indexed)."""
+        valid bool) — windows containing N are invalid (never indexed).
+        Vectorized over positions: k shifted ORs over the whole read
+        instead of a per-base Python loop (index.go:21-57 semantics)."""
         k = self.seed_len
         s = np.asarray(seq, np.int64)
         n = len(s) - k + 1
         if n <= 0:
             return np.zeros(0, np.uint64), np.zeros(0, bool)
         valid = np.lib.stride_tricks.sliding_window_view(s < 4, k).all(axis=1)
-        mask = np.uint64((1 << (2 * k)) - 1) if k < 32 else np.uint64(2**64 - 1)
         vals = np.where(s < 4, s, 0).astype(np.uint64)
-        codes_full = np.zeros(len(s), np.uint64)
-        acc = np.uint64(0)
-        for i in range(len(s)):
-            acc = ((acc << np.uint64(2)) | vals[i]) & mask
-            codes_full[i] = acc
-        return codes_full[k - 1:], valid
+        out = np.zeros(n, np.uint64)
+        for i in range(k):
+            out |= vals[i:n + i] << np.uint64(2 * (k - 1 - i))
+        return out, valid
 
     def find_seeds(self, read: FastqBig) -> list[Seed]:
         seeds: list[Seed] = []
@@ -351,24 +376,34 @@ class GswAligner:
 
     # ---- alignment (toGiraf.go GraphSmithWatermanToGiraf) ----
 
-    def align_read(self, read: FastqBig) -> Giraf:
+    def align_start(self, read: FastqBig) -> AlnState:
         best = Giraf(qname=read.name, q_start=0, q_end=0, pos_strand=True,
                      path=Path(), cigar=[], aln_score=0, mapq=255,
                      seq=read.seq, qual=read.qual,
                      notes=[Note("XO", "Z", "~")])
         perfect = int(self._match_score[np.asarray(read.seq, np.int64)].sum())
         extension = perfect // 600 + len(read.seq)
-        seeds = self.find_seeds(read)
-        q_end = 0  # persists across seed iterations like the reference's
-        # scoreKeeper.queryEnd (only the DP branch updates it)
+        return AlnState(best, perfect, extension, self.find_seeds(read))
+
+    @staticmethod
+    def seed_tail(s: Seed) -> Seed:
+        tail = s
+        while tail.next_part is not None:
+            tail = tail.next_part
+        return tail
+
+    def align_seed_loop(self, read: FastqBig, seeds: list[Seed],
+                        st: AlnState) -> None:
+        """Process a slice of seeds against the carried state; sets
+        st.done when the seedCouldBeBetter bound breaks the loop."""
+        best = st.best
         for s in seeds:
             if not seed_could_be_better(s.total_length, best.aln_score,
-                                        perfect, len(read.seq),
+                                        st.perfect, len(read.seq),
                                         100, 90, -196, -296):
-                break
-            tail = s
-            while tail.next_part is not None:
-                tail = tail.next_part
+                st.done = True
+                return
+            tail = self.seed_tail(s)
             seq = read.seq if s.pos_strand else read.seq_rc
             seed_score = int(self._match_score[
                 np.asarray(seq[s.query_start:tail.query_start + tail.length],
@@ -383,18 +418,18 @@ class GswAligner:
             else:
                 (left_route, left_score, t_start, q_start) = \
                     self._left_traversal(self.g.nodes[s.target_id],
-                                         s.target_start, extension
+                                         s.target_start, st.extension
                                          - s.total_length,
                                          seq[:s.query_start])
-                (right_route, right_score, t_end, q_end) = \
+                (right_route, right_score, t_end, st.q_end) = \
                     self._right_traversal(self.g.nodes[tail.target_id],
                                           tail.target_start + tail.length,
-                                          extension - s.total_length,
+                                          st.extension - s.total_length,
                                           seq[tail.query_start + tail.length:])
                 curr = left_score + seed_score + right_score
             if curr > best.aln_score:
                 best.q_start = q_start
-                best.q_end = (s.query_start + q_start + q_end
+                best.q_end = (s.query_start + q_start + st.q_end
                               + s.total_length - 1)
                 best.pos_strand = s.pos_strand
                 path = self._seed_path(s)
@@ -405,9 +440,18 @@ class GswAligner:
                 best.cigar = _append_soft_clips(q_start, len(seq), mid)
                 best.aln_score = int(curr)
                 best.seq = seq
+
+    @staticmethod
+    def align_finish(st: AlnState) -> Giraf:
+        best = st.best
         if not best.pos_strand:
             best.qual = best.qual[::-1]
         return best
+
+    def align_read(self, read: FastqBig) -> Giraf:
+        st = self.align_start(read)
+        self.align_seed_loop(read, st.seeds, st)
+        return self.align_finish(st)
 
     def _seed_path(self, s: Seed) -> list[int]:
         path = [s.target_id]
@@ -426,8 +470,7 @@ class GswAligner:
         take = min(len(prev_seq) + ref_end, extension) - len(prev_seq)
         window = np.concatenate([node.seq[ref_end - take:ref_end], prev_seq])
         if len(prev_seq) + ref_end >= extension or not node.prev:
-            score, route, i_stop, j_stop = left_dynamic_aln(
-                window, read_part, self.scores)
+            score, route, i_stop, j_stop = self._dp_left(window, read_part)
             t_start = ref_end - len(window) - len(prev_seq) + i_stop
             return route, score, t_start, j_stop
         best_score = NEG
@@ -451,8 +494,7 @@ class GswAligner:
         take = min(len(prev_seq) + len(node.seq) - start, extension) - len(prev_seq)
         window = np.concatenate([prev_seq, node.seq[start:start + take]])
         if len(prev_seq) + len(node.seq) - start >= extension or not node.next:
-            score, route, max_i, max_j = right_dynamic_aln(
-                window, read_part, self.scores)
+            score, route, max_i, max_j = self._dp_right(window, read_part)
             return route, score, max_i + start, max_j
         best_score = NEG
         best = ([], NEG, 0, 0)

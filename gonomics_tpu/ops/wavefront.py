@@ -176,12 +176,18 @@ def _affine_kernel(fin_ref, br_ref, q0, q1, q2, q3, q4, *rest,
 
 def _local_kernel(nvec_ref, mvec_ref, br_ref, q0, q1, q2, q3, q4, *rest,
                   n_pad: int, m_pad: int, gap: int, s_size: int,
-                  with_trace: bool):
+                  with_trace: bool, with_corner: bool = False):
     """Smith-Waterman local alignment (clamped const-gap), the TPU engine
     of the batched read aligner. Tracks the best cell per (pair, s) with
     its diagonal so the host can recover the global max + traceback.
-    Trace codes: 0=M, 1=left(ref gap->D), 2=up(read gap->I), 3=local stop."""
-    if with_trace:
+    Trace codes: 0=M, 1=left(ref gap->D), 2=up(read gap->I), 3=local stop.
+
+    with_corner additionally captures the value of cell (nb, mb) per pair
+    (the anchored-corner score genomeGraph LeftDynamicAln needs,
+    search.go:234-276)."""
+    if with_trace and with_corner:
+        bv_ref, bd_ref, trace_ref, corner_ref, cbuf = rest
+    elif with_trace:
         bv_ref, bd_ref, trace_ref, cbuf = rest
     else:
         bv_ref, bd_ref, cbuf = rest
@@ -197,6 +203,8 @@ def _local_kernel(nvec_ref, mvec_ref, br_ref, q0, q1, q2, q3, q4, *rest,
         cbuf[1] = jnp.zeros((B, S), jnp.int32)
         bv_ref[...] = jnp.zeros((B, S), jnp.int32)
         bd_ref[...] = jnp.zeros((B, S), jnp.int32)
+        if with_corner:
+            corner_ref[...] = jnp.zeros((B, S), jnp.int32)
 
     cur = jax.lax.rem(d, 2)
     prv = 1 - cur
@@ -225,6 +233,9 @@ def _local_kernel(nvec_ref, mvec_ref, br_ref, q0, q1, q2, q3, q4, *rest,
     upd = inside & (c_new > bv_ref[...])
     bd_ref[...] = jnp.where(upd, d, bd_ref[...])
     bv_ref[...] = jnp.where(upd, c_new, bv_ref[...])
+
+    if with_corner:
+        corner_ref[...] = jnp.where(nb + mb == d, c_new, corner_ref[...])
 
 
 def _const_kernel(fin_ref, br_ref, q0, q1, q2, q3, q4, *rest,
@@ -273,6 +284,97 @@ def _const_kernel(fin_ref, br_ref, q0, q1, q2, q3, q4, *rest,
     res_ref[...] = jnp.where(fin, c_new, res_ref[...])
 
 
+def _gsw_right_kernel(nvec_ref, mvec_ref, br_ref, q0, q1, q2, q3, q4,
+                      bv_ref, bd_ref, trace_ref, cbuf, *,
+                      n_pad: int, m_pad: int, gap: int, s_size: int):
+    """Prefix-anchored const-gap DP with penalized boundaries — the device
+    counterpart of genomeGraph RightDynamicAln (search.go:278): m[0][j] =
+    j*gap, m[i][0] = i*gap, no clamping; tracks the best cell with strict
+    > so the host recovers the reference's row-major first-max tie-break
+    (per-lane strict > keeps the smallest diagonal = smallest j; argmax
+    over lanes keeps the smallest i). Boundary trace codes are 1 ('I')
+    on row 0 and 2 ('D') on column 0 so the traceback walks edges to the
+    origin exactly like the reference."""
+    d = pl.program_id(0) + 1
+    B, S = q0.shape
+    gap_ = jnp.int32(gap)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), dimension=1)
+
+    @pl.when(d == 1)
+    def _init():
+        cbuf[0] = jnp.where(s_idx == 0, 0, NEG)
+        cbuf[1] = jnp.full((B, S), NEG, jnp.int32)
+        bv_ref[...] = jnp.zeros((B, S), jnp.int32)
+        bd_ref[...] = jnp.zeros((B, S), jnp.int32)
+
+    cur = jax.lax.rem(d, 2)
+    prv = 1 - cur
+    c1 = cbuf[prv]
+    c2 = cbuf[cur]
+
+    be = _beta_codes(br_ref, d, m_pad, s_size, S)
+    sc = _select_score(be, q0, q1, q2, q3, q4)
+
+    diag = _shift(c2) + sc
+    left = c1 + gap_
+    up = _shift(c1) + gap_
+    c_new = _max3(diag, left, up)
+
+    interior = (s_idx >= jnp.maximum(1, d - m_pad)) & \
+               (s_idx <= jnp.minimum(d - 1, n_pad))
+    row0 = (s_idx == 0) & (d <= m_pad)
+    col0 = (s_idx == d) & (d <= n_pad)
+    c_new = jnp.where(interior, c_new,
+                      jnp.where(row0 | col0, gap_ * d, NEG))
+    cbuf[cur] = c_new
+
+    t = _argmax3(diag, left, up)
+    t = jnp.where(row0, 1, jnp.where(col0, 2, t))
+    trace_ref[0] = t.astype(jnp.int8)
+
+    nb = nvec_ref[...]
+    mb = mvec_ref[...]
+    inside = (s_idx >= 1) & (s_idx <= nb) & \
+             (d - s_idx >= 1) & (d - s_idx <= mb)
+    upd = inside & (c_new > bv_ref[...])
+    bd_ref[...] = jnp.where(upd, d, bd_ref[...])
+    bv_ref[...] = jnp.where(upd, c_new, bv_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret"))
+def wavefront_gsw_right(alpha_pad, beta_pad, n_vec, m_vec, scores, *,
+                        n: int, m: int, gap: int, interpret: bool = False):
+    """Batched RightDynamicAln DP. Returns (best_val, best_d, trace):
+    best_val/best_d (B, S) over real cells only, trace (n+m, B, S)."""
+    B = alpha_pad.shape[0]
+    S = _round_up(n + 1, 128)
+    profiles, br = _build_inputs(alpha_pad, beta_pad, scores, S, m)
+    d_total = n + m
+
+    def vspec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    res_shape = jax.ShapeDtypeStruct((B, S), jnp.int32)
+    trace_shape = jax.ShapeDtypeStruct((d_total, B, S), jnp.int8)
+    trace_spec = pl.BlockSpec((1, B, S), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    kern = functools.partial(_gsw_right_kernel, n_pad=n, m_pad=m, gap=gap,
+                             s_size=S)
+    return pl.pallas_call(
+        kern,
+        grid=(d_total,),
+        in_specs=[vspec()] * 8,
+        out_specs=(vspec(), vspec(), trace_spec),
+        out_shape=(res_shape, res_shape, trace_shape),
+        scratch_shapes=[pltpu.VMEM((2, B, S), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(n_vec, m_vec, br, *profiles)
+
+
 def _build_inputs(alpha_pad, beta_pad, scores, s_size: int, m_pad: int):
     """Alpha profiles Q_a[b, s] = scores[a, alpha[b, s-1]] (static in the
     kernel) and the reversed-beta code array br_pad, padded with S lanes on
@@ -293,15 +395,16 @@ def _build_inputs(alpha_pad, beta_pad, scores, s_size: int, m_pad: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "m", "gap", "with_trace", "interpret"))
+    "n", "m", "gap", "with_trace", "with_corner", "interpret"))
 def wavefront_local(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
                     m: int, gap: int, with_trace: bool = True,
-                    interpret: bool = False):
+                    with_corner: bool = False, interpret: bool = False):
     """Batched Smith-Waterman over (read, window) pairs.
 
     alpha_pad: (B, n) int8 read codes, beta_pad: (B, m) int8 window codes,
     n_vec/m_vec: (B, 1) int32 real lengths. Returns (best_val, best_d)
-    each (B, S) [+ trace (n+m, B, S) int8 when with_trace].
+    each (B, S) [+ trace (n+m, B, S) int8 when with_trace] [+ corner
+    (B, S) when with_corner: the value of cell (nb, mb), at lane nb].
     """
     B = alpha_pad.shape[0]
     S = _round_up(n + 1, 128)
@@ -316,8 +419,12 @@ def wavefront_local(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
     trace_spec = pl.BlockSpec((1, B, S), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     kern = functools.partial(_local_kernel, n_pad=n, m_pad=m, gap=gap,
-                             s_size=S, with_trace=with_trace)
-    if with_trace:
+                             s_size=S, with_trace=with_trace,
+                             with_corner=with_corner)
+    if with_trace and with_corner:
+        out_shape = (res_shape, res_shape, trace_shape, res_shape)
+        out_specs = (vspec(), vspec(), trace_spec, vspec())
+    elif with_trace:
         out_shape = (res_shape, res_shape, trace_shape)
         out_specs = (vspec(), vspec(), trace_spec)
     else:
