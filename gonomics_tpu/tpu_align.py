@@ -42,7 +42,7 @@ def _rolling_codes(seq: np.ndarray, k: int) -> np.ndarray:
 
     Vectorized over positions: k shifted adds over the whole genome
     (k <= 32 passes of length-n vector ops, no per-base Python loop)."""
-    s = np.asarray(seq, np.int64)
+    s = np.asarray(seq)
     n = len(s) - k + 1
     if n <= 0:
         return np.zeros(0, np.uint64)
@@ -53,6 +53,81 @@ def _rolling_codes(seq: np.ndarray, k: int) -> np.ndarray:
     bad = np.lib.stride_tricks.sliding_window_view(s >= 4, k).any(axis=1)
     out[bad] = np.uint64(1) << np.uint64(63)
     return out
+
+
+def _window_codes_fast(s: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(codes uint64, valid bool) of every k-window via log2 doubling:
+    power-of-2 window codes are built by combining half-width codes
+    (~log2(k) passes in narrow dtypes instead of k passes in uint64),
+    then k is composed from its binary decomposition. Validity (no base
+    >= 4 in the window) comes from one cumsum instead of an O(n*k)
+    sliding-window reduction."""
+    n = len(s) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, bool)
+    vals = np.where(s < 4, s, 0).astype(np.uint8)
+    pw = {1: vals}
+    w = 1
+    while w * 2 <= k:
+        a = pw[w]
+        nb = 4 * w  # bits of the doubled code
+        dt = (np.uint8 if nb <= 8 else np.uint16 if nb <= 16
+              else np.uint32 if nb <= 32 else np.uint64)
+        pw[w * 2] = (a[:len(a) - w].astype(dt) << (2 * w)) | a[w:]
+        w *= 2
+    rem, off, code = k, 0, None
+    for w in sorted(pw, reverse=True):
+        if rem >= w:
+            part = pw[w][off:off + n]
+            if code is None:
+                code = part.astype(np.uint64)
+            else:
+                code = (code << np.uint64(2 * w)) | part
+            off += w
+            rem -= w
+    bad = (s >= 4).astype(np.int32)
+    cs = np.concatenate([np.zeros(1, np.int32), np.cumsum(bad)])
+    valid = (cs[k:] - cs[:-k]) == 0
+    return code, valid
+
+
+def build_seed_index(genome: np.ndarray, k: int,
+                     chunk: int = 1 << 24) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (code, pos) seed table of every valid k-mer window —
+    the sort/searchsorted redesign of genomeGraph/index.go:21-98.
+
+    Chunked so peak temporaries stay O(chunk) + the final table (at
+    genome scale the naive path's full-length int64/uint64 temporaries
+    would triple the footprint); the stable sort runs through torch
+    (multithreaded) when available. Positions are int32 when they fit
+    (they do for any real genome), halving the table."""
+    n = len(genome)
+    pos_dtype = np.int32 if n < 2 ** 31 else np.int64
+    codes_parts = []
+    pos_parts = []
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk + k - 1)  # k-1 overlap covers the seam
+        c, valid = _window_codes_fast(genome[lo:hi], k)
+        c, valid = c[:chunk], valid[:chunk]
+        p = np.nonzero(valid)[0].astype(pos_dtype)
+        p += pos_dtype(lo)
+        codes_parts.append(c[valid])
+        pos_parts.append(p)
+    codes = np.concatenate(codes_parts) if codes_parts else \
+        np.zeros(0, np.uint64)
+    pos = np.concatenate(pos_parts) if pos_parts else \
+        np.zeros(0, pos_dtype)
+    try:
+        import torch
+
+        # codes < 2^63 (sentinels were dropped), so int64 order matches
+        ct = torch.from_numpy(codes.view(np.int64))
+        order = torch.argsort(ct, stable=True)
+        return (ct[order].numpy().view(np.uint64),
+                torch.from_numpy(pos)[order].numpy())
+    except ImportError:
+        order = np.argsort(codes, kind="stable")
+        return codes[order], pos[order]
 
 
 def _batch_codes(seqs: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
@@ -84,13 +159,15 @@ class TpuReadAligner:
     def __init__(self, records, *, seed_len: int = 21, read_kmers: int = 8,
                  max_hits_per_kmer: int = 8, pad: int = 24,
                  scores: np.ndarray = HUMAN_CHIMP_TWO, gap: int = -600,
-                 min_score: int = 1200, backend: str = "auto", mesh=None):
+                 min_score: int = 1200, backend: str = "auto", mesh=None,
+                 _index=None):
         """records: list of io.fasta.Fasta (the linear reference).
 
         mesh: optional jax.sharding.Mesh with a "data" axis; when given,
         the device wavefront+traceback runs data-parallel over the mesh
         (gonomics_tpu.parallel.shard_local_align). Outputs stay in batch
-        order, so SAM emission is deterministic for any mesh shape."""
+        order, so SAM emission is deterministic for any mesh shape.
+        _index: prebuilt (codes, pos) table from load()/save_index()."""
         self.k = seed_len
         self.read_kmers = read_kmers
         self.max_hits = max_hits_per_kmer
@@ -122,13 +199,44 @@ class TpuReadAligner:
         self.genome = np.concatenate(chunks)
         self._starts_arr = np.array(self.chrom_starts + [off], np.int64)
 
-        codes = _rolling_codes(self.genome, self.k)
-        keep = codes != (np.uint64(1) << np.uint64(63))
-        pos = np.nonzero(keep)[0].astype(np.int64)
-        codes = codes[keep]
-        order = np.argsort(codes, kind="stable")
-        self.idx_codes = codes[order]
-        self.idx_pos = pos[order]
+        if _index is not None:
+            self.idx_codes, self.idx_pos = _index
+        else:
+            self.idx_codes, self.idx_pos = build_seed_index(self.genome,
+                                                            self.k)
+
+    # ---- index persistence (the reference's resumable on-disk index
+    # artifacts: fasta/fai.go:86, sam/bai.go:78; SURVEY.md section 5) ----
+
+    def save_index(self, path: str) -> None:
+        """Persist the sorted (code, pos) seed table + genome layout so
+        later runs (and other hosts of a multi-host job) skip the build."""
+        np.savez(path if path.endswith(".npz") else path + ".npz",
+                 k=np.int64(self.k),
+                 codes=self.idx_codes, pos=self.idx_pos,
+                 genome=self.genome,
+                 starts=self._starts_arr,
+                 names=np.array([c.name for c in self.chroms]),
+                 sizes=np.array([c.size for c in self.chroms], np.int64))
+
+    @classmethod
+    def load(cls, path: str, **kwargs):
+        """Rebuild an aligner from a save_index() file (no FASTA scan,
+        no sort)."""
+        from .io.fasta import Fasta
+
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        kwargs.setdefault("seed_len", int(z["k"]))
+        if kwargs["seed_len"] != int(z["k"]):
+            raise ValueError(
+                f"index built with k={int(z['k'])}, asked k={kwargs['seed_len']}")
+        names = [str(x) for x in z["names"]]
+        sizes = [int(x) for x in z["sizes"]]
+        starts = z["starts"]
+        genome = z["genome"]
+        records = [Fasta(nm, genome[int(starts[i]):int(starts[i]) + sizes[i]])
+                   for i, nm in enumerate(names)]
+        return cls(records, _index=(z["codes"], z["pos"]), **kwargs)
 
     def header(self) -> samio.Header:
         h = samio.Header()

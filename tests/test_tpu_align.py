@@ -78,3 +78,54 @@ def test_pairs_tlen_flags(setup):
     assert a.flag & 2 and b.flag & 2  # proper pair
     assert a.rnext == "=" and a.pnext == b.pos
     assert a.tlen == 280 and b.tlen == -280
+
+
+def test_chunked_index_matches_unchunked():
+    from gonomics_tpu.tpu_align import build_seed_index
+
+    rng = np.random.default_rng(4)
+    genome = rng.integers(0, 5, 50_000).astype(np.int8)  # incl. some N
+    c1, p1 = build_seed_index(genome, 21, chunk=1 << 30)
+    c2, p2 = build_seed_index(genome, 21, chunk=4096)
+    assert (c1 == c2).all() and (p1 == p2).all()
+    # every stored window really is ACGT-only and decodes to its code
+    assert len(c1) > 0
+    k = 21
+    some = rng.integers(0, len(p1), 50)
+    for i in some:
+        win = genome[int(p1[i]):int(p1[i]) + k]
+        assert (win < 4).all()
+        code = 0
+        for b in win:
+            code = (code << 2) | int(b)
+        assert np.uint64(code) == c1[i]
+
+
+def test_index_save_load_roundtrip(tmp_path, setup):
+    genome, al, rng = setup
+    path = str(tmp_path / "idx.npz")
+    al.save_index(path)
+    al2 = TpuReadAligner.load(path, backend="interpret")
+    assert (al2.idx_codes == al.idx_codes).all()
+    assert (al2.idx_pos == al.idx_pos).all()
+    assert (al2.genome == al.genome).all()
+    reads = [_read(genome, s) for s in (100, 5_000, 12_345)]
+    out1 = [s.to_string() for s in al.align_batch(reads)]
+    out2 = [s.to_string() for s in al2.align_batch(reads)]
+    assert out1 == out2
+
+
+def test_repetitive_sequence_truncation_still_maps():
+    # a genome that is 50% tandem repeat: max_hits_per_kmer truncation
+    # must not break mapping of reads from the unique half
+    rng = np.random.default_rng(9)
+    unit = rng.integers(0, 4, 50).astype(np.int8)
+    rep = np.tile(unit, 200)          # 10 kb of repeat
+    uniq = rng.integers(0, 4, 10_000).astype(np.int8)
+    genome = np.concatenate([rep, uniq])
+    al = TpuReadAligner([Fasta("chr1", genome)], backend="interpret")
+    reads = [_read(genome, 10_000 + 37 * i, 80) for i in range(8)]
+    sams = al.align_batch(reads)
+    for r, s in zip(reads, sams):
+        assert s.flag & 4 == 0
+        assert s.pos == int(r.name[1:]) + 1
