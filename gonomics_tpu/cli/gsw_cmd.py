@@ -67,7 +67,8 @@ def _align_tpu(args) -> None:
         mesh = make_mesh(data=len(jax.devices()), seq=1)
 
     records = fasta.read(args.files[0])
-    al = TpuReadAligner(records, mesh=mesh)
+    al = TpuReadAligner(records, mesh=mesh,
+                        index_sharding=args.index_sharding)
     nproc = jax.process_count()
     pid = jax.process_index()
     sharded_out = nproc > 1
@@ -391,6 +392,11 @@ def main(argv=None) -> None:
                          "tpu: batched device aligner (SAM, .fa refs)")
     al.add_argument("--batch", type=int, default=2048,
                     help="TPU engine batch size")
+    al.add_argument("--index-sharding", default="replicated",
+                    choices=["replicated", "prefix"],
+                    help="tpu engine: k-mer index layout; prefix shards "
+                         "the sorted (code,pos) table over the mesh "
+                         "data axis (byte-identical output)")
     al.add_argument("--mesh", action="store_true",
                     help="tpu engine: shard batches data-parallel over "
                          "all local devices")

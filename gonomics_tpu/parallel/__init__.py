@@ -136,6 +136,72 @@ def shard_local_align(mesh: Mesh, scores, *, n: int, m: int, gap: int,
         check_vma=False))
 
 
+def shard_seed_lookup(mesh: Mesh, *, max_hits: int):
+    """Prefix-sharded k-mer index lookup with an on-device candidate
+    merge (SURVEY.md P3; reference index semantics genomeGraph/index.go:
+    21-98). The sorted (code, pos) table is split into contiguous chunks
+    at CODE boundaries (tpu_align.split_index_prefix), so each k-mer's
+    hit run lives entirely in one shard and shard-local truncation to
+    max_hits equals the replicated index's — outputs are byte-identical.
+
+    Each device searchsorts its chunk for every read k-mer; hits merge
+    across shards with a psum (exactly one shard contributes per k-mer),
+    riding ICI instead of a host exchange.
+
+    64-bit codes travel as (hi, lo) uint32 halves — JAX's default x64-off
+    mode would silently truncate uint64 — and the lookup is an explicit
+    vectorized binary search comparing the pair lexicographically.
+
+    Returns f(chunk_hi, chunk_lo (n_sh, L) u32, chunk_pos (n_sh, L) i32,
+    qhi, qlo (B, K) u32) -> (hitpos (B, K, H) i32, valid (B, K, H))."""
+    H = max_hits
+
+    def bsearch(chi, clo, qhi, qlo, right: bool):
+        n = chi.shape[0]
+        steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+        lo_b = jnp.zeros(qhi.shape, jnp.int32)
+        hi_b = jnp.full(qhi.shape, n, jnp.int32)
+
+        def body(_, carry):
+            lo_b, hi_b = carry
+            done = lo_b >= hi_b
+            mid = jnp.clip((lo_b + hi_b) // 2, 0, n - 1)
+            mh = chi[mid]
+            ml = clo[mid]
+            if right:
+                go = (mh < qhi) | ((mh == qhi) & (ml <= qlo))
+            else:
+                go = (mh < qhi) | ((mh == qhi) & (ml < qlo))
+            lo_b = jnp.where(~done & go, mid + 1, lo_b)
+            hi_b = jnp.where(~done & ~go, mid, hi_b)
+            return lo_b, hi_b
+
+        lo_b, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+        return lo_b
+
+    def local(chunk_hi, chunk_lo, chunk_pos, qhi, qlo):
+        chi, clo, cp = chunk_hi[0], chunk_lo[0], chunk_pos[0]
+        fh, fl = qhi.ravel(), qlo.ravel()
+        lo = bsearch(chi, clo, fh, fl, right=False)
+        hi = jnp.minimum(bsearch(chi, clo, fh, fl, right=True), lo + H)
+        take = lo[:, None] + jnp.arange(H)[None, :]
+        valid = take < hi[:, None]
+        take = jnp.clip(take, 0, chi.shape[0] - 1)
+        hitpos = jnp.where(valid, cp[take].astype(jnp.int32), 0)
+        merged = jax.lax.psum(hitpos, "data")
+        vmerged = jax.lax.psum(valid.astype(jnp.int32), "data") > 0
+        hp = jnp.where(vmerged, merged, -1)
+        shape = qhi.shape + (H,)
+        return hp.reshape(shape), vmerged.reshape(shape)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("data", None),
+                  P(None, None), P(None, None)),
+        out_specs=(P(None, None, None), P(None, None, None)),
+        check_vma=False))
+
+
 def shard_pileup_counts(mesh: Mesh, *, span: int, n_base: int = 13):
     """Sharded dense pileup scatter-add: the TPU form of the reference's
     position-synchronized pileup merge (sam/pileup.go:52-118).

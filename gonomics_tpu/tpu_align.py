@@ -130,6 +130,35 @@ def build_seed_index(genome: np.ndarray, k: int,
         return codes[order], pos[order]
 
 
+_PAD_CODE = np.uint64(1) << np.uint64(63)  # > any real or bad-read code
+
+
+def split_index_prefix(codes: np.ndarray, pos: np.ndarray,
+                       n_shards: int) -> tuple[np.ndarray, np.ndarray]:
+    """Split the sorted (code, pos) table into n_shards contiguous chunks
+    whose boundaries fall BETWEEN distinct codes, so every k-mer's hit
+    run lives in exactly one shard (the prefix-sharded index of
+    SURVEY.md P3). Chunks are padded to equal length with a sentinel
+    code no lookup can match. Returns (codes (n, L), pos (n, L))."""
+    N = len(codes)
+    bounds = [0]
+    for i in range(1, n_shards):
+        t = i * N // n_shards
+        if 0 < t < N:
+            # move back to the first occurrence of codes[t] — a boundary
+            t = int(np.searchsorted(codes, codes[t], side="left"))
+        bounds.append(max(bounds[-1], min(t, N)))
+    bounds.append(N)
+    L = max(1, max(bounds[i + 1] - bounds[i] for i in range(n_shards)))
+    ck = np.full((n_shards, L), _PAD_CODE, np.uint64)
+    ps = np.zeros((n_shards, L), np.int32)
+    for i in range(n_shards):
+        lo, hi = bounds[i], bounds[i + 1]
+        ck[i, :hi - lo] = codes[lo:hi]
+        ps[i, :hi - lo] = pos[lo:hi]
+    return ck, ps
+
+
 def _batch_codes(seqs: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
     """(B, K) codes of the k-mers starting at the given offsets."""
     B = seqs.shape[0]
@@ -160,13 +189,17 @@ class TpuReadAligner:
                  max_hits_per_kmer: int = 8, pad: int = 24,
                  scores: np.ndarray = HUMAN_CHIMP_TWO, gap: int = -600,
                  min_score: int = 1200, backend: str = "auto", mesh=None,
-                 _index=None):
+                 index_sharding: str = "replicated", _index=None):
         """records: list of io.fasta.Fasta (the linear reference).
 
         mesh: optional jax.sharding.Mesh with a "data" axis; when given,
         the device wavefront+traceback runs data-parallel over the mesh
         (gonomics_tpu.parallel.shard_local_align). Outputs stay in batch
         order, so SAM emission is deterministic for any mesh shape.
+        index_sharding: "replicated" (host searchsorted) or "prefix"
+        (sorted table split at code boundaries over the mesh "data"
+        axis, device searchsorted + psum candidate merge — byte-
+        identical output; for genomes too big to replicate per host).
         _index: prebuilt (codes, pos) table from load()/save_index()."""
         self.k = seed_len
         self.read_kmers = read_kmers
@@ -204,6 +237,27 @@ class TpuReadAligner:
         else:
             self.idx_codes, self.idx_pos = build_seed_index(self.genome,
                                                             self.k)
+
+        if index_sharding not in ("replicated", "prefix"):
+            raise ValueError(f"unknown index_sharding: {index_sharding}")
+        if index_sharding == "prefix" and mesh is None:
+            raise ValueError("index_sharding='prefix' needs a mesh")
+        self.index_sharding = index_sharding
+        self._shard_lookup = None
+        if index_sharding == "prefix":
+            import jax.numpy as jnp
+
+            from .parallel import shard_seed_lookup
+
+            ck, ps = split_index_prefix(self.idx_codes, self.idx_pos,
+                                        mesh.shape["data"])
+            # 64-bit codes as (hi, lo) uint32 halves (x64-off safe)
+            self._shard_chi = jnp.asarray((ck >> np.uint64(32))
+                                          .astype(np.uint32))
+            self._shard_clo = jnp.asarray(ck.astype(np.uint32))
+            self._shard_ps = jnp.asarray(ps)
+            self._shard_lookup = shard_seed_lookup(mesh,
+                                                   max_hits=self.max_hits)
 
     # ---- index persistence (the reference's resumable on-disk index
     # artifacts: fasta/fai.go:86, sam/bai.go:78; SURVEY.md section 5) ----
@@ -248,20 +302,38 @@ class TpuReadAligner:
 
     # ---- seeding ----
 
+    def _lookup_hits(self, codes: np.ndarray):
+        """(B, K) k-mer codes -> (hitpos (B, K, H), valid) from the
+        replicated host table or the prefix-sharded device table."""
+        B, K = codes.shape
+        H = self.max_hits
+        if self._shard_lookup is not None:
+            import jax
+            import jax.numpy as jnp
+
+            qhi = jnp.asarray((codes >> np.uint64(32)).astype(np.uint32))
+            qlo = jnp.asarray(codes.astype(np.uint32))
+            hp, valid = self._shard_lookup(self._shard_chi,
+                                           self._shard_clo,
+                                           self._shard_ps, qhi, qlo)
+            return (np.asarray(jax.device_get(hp)).astype(np.int64),
+                    np.asarray(jax.device_get(valid)))
+        lo = np.searchsorted(self.idx_codes, codes.ravel(), side="left")
+        hi = np.searchsorted(self.idx_codes, codes.ravel(), side="right")
+        lo = lo.reshape(B, K)
+        hi = np.minimum(hi.reshape(B, K), lo + H)
+        take = lo[:, :, None] + np.arange(H)[None, None, :]  # (B, K, H)
+        valid = take < hi[:, :, None]
+        take = np.clip(take, 0, len(self.idx_pos) - 1)
+        return self.idx_pos[take].astype(np.int64), valid
+
     def _candidates_one_strand(self, seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         B, L = seqs.shape
         K = self.read_kmers
         offs = np.linspace(0, L - self.k, K).astype(np.int64)
         codes = _batch_codes(seqs, offs, self.k)  # (B, K)
-        lo = np.searchsorted(self.idx_codes, codes.ravel(), side="left")
-        hi = np.searchsorted(self.idx_codes, codes.ravel(), side="right")
-        lo = lo.reshape(B, K)
-        hi = np.minimum(hi.reshape(B, K), lo + self.max_hits)
         H = self.max_hits
-        take = lo[:, :, None] + np.arange(H)[None, None, :]  # (B, K, H)
-        valid = take < hi[:, :, None]
-        take = np.clip(take, 0, len(self.idx_pos) - 1)
-        hitpos = self.idx_pos[take]                           # (B, K, H)
+        hitpos, valid = self._lookup_hits(codes)
         diags = hitpos - offs[None, :, None]
         diags = np.where(valid, diags, np.int64(-1))
         # modal diagonal per read: sort the small (K*H) candidate list

@@ -158,3 +158,43 @@ def test_shard_seq_affine_score_matches_oracle():
     want = [oracle.affine_gap(a, b, HUMAN_CHIMP_TWO, -600, -150)[0]
             for a, b in pairs]
     assert got.tolist() == want
+
+
+def test_prefix_sharded_index_matches_replicated():
+    # SURVEY P3: prefix-sharded (code, pos) table + psum candidate merge
+    # must be byte-identical to the replicated host index
+    rng = np.random.default_rng(6)
+    genome = rng.integers(0, 4, 30000).astype(np.int8)
+    reads = _make_reads(genome, 24, 60)
+    mesh = make_mesh(8, data=8, seq=1)
+    repl = TpuReadAligner([Fasta("chr1", genome)], min_score=600,
+                          mesh=mesh)
+    pref = TpuReadAligner([Fasta("chr1", genome)], min_score=600,
+                          mesh=mesh, index_sharding="prefix")
+    a = [s.to_string() for s in repl.align_batch(reads)]
+    b = [s.to_string() for s in pref.align_batch(reads)]
+    assert a == b
+    assert any("\tchr1\t" in s for s in a)
+
+
+def test_split_index_prefix_boundaries():
+    from gonomics_tpu.tpu_align import (_PAD_CODE, build_seed_index,
+                                        split_index_prefix)
+
+    rng = np.random.default_rng(7)
+    # tandem repeats make long equal-code runs that must not straddle
+    unit = rng.integers(0, 4, 30).astype(np.int8)
+    genome = np.concatenate([np.tile(unit, 40),
+                             rng.integers(0, 4, 2000).astype(np.int8)])
+    codes, pos = build_seed_index(genome, 21)
+    ck, ps = split_index_prefix(codes, pos, 4)
+    flat = ck.ravel()
+    real = flat[flat != _PAD_CODE]
+    assert len(real) == len(codes)
+    # chunk boundaries never split an equal-code run
+    for i in range(3):
+        row, nxt = ck[i], ck[i + 1]
+        last = row[row != _PAD_CODE]
+        first = nxt[nxt != _PAD_CODE]
+        if len(last) and len(first):
+            assert last[-1] != first[0]
