@@ -486,10 +486,11 @@ def local_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
 
 
 def _shift_chunked(x):
-    """s -> s-1 shift in the chunked layout x[c, l] = v[c*Sc + l]: lane
-    shift with a sublane-carry column (row c gets row c-1's last lane)."""
-    carry = jnp.concatenate([x[:1, -1:], x[:-1, -1:]], axis=0)
-    return jnp.concatenate([carry, x[:, :-1]], axis=1)
+    """s -> s-1 shift in the chunked layout x[b, c, l] = v[b, c*Sc + l]:
+    lane shift with a per-pair sublane-carry column (row c gets row c-1's
+    last lane within the same pair)."""
+    carry = jnp.concatenate([x[:, :1, -1:], x[:, :-1, -1:]], axis=1)
+    return jnp.concatenate([carry, x[:, :, :-1]], axis=2)
 
 
 def _affine_fwd_chunked_kernel(d0_ref, fin_ref, br_ref,
@@ -502,28 +503,29 @@ def _affine_fwd_chunked_kernel(d0_ref, fin_ref, br_ref,
     """Forward checkerboard (K diagonals from an explicit two-diagonal
     state) in a sublane-CHUNKED lane layout: the s axis is folded into
     8 sublane rows of s_chunk lanes (s = c*s_chunk + l) so a single pair
-    fills all sublanes instead of paying 8x padding. This is what lets a
+    fills all sublanes instead of paying 8x padding, and B equal-size
+    pairs batch along the leading dim. This is what lets a
     chromosome-scale wavefront (n ~ 100k lanes) fit VMEM.
 
-    br layout: br2[c] = br_flat[c*s_chunk :], so one lane-roll by the
-    per-diagonal offset serves all 8 rows at once. State slot p holds the
-    diagonal with parity d%2 == p (as in _affine_kernel)."""
+    br layout: br2[b, c] = br_flat[b, c*s_chunk :], so one lane-roll by
+    the per-diagonal offset serves all 8 rows at once. State slot p holds
+    the diagonal with parity d%2 == p (as in _affine_kernel)."""
     t = pl.program_id(0)
     dg = d0_ref[0, 0] + 1 + t
-    C, Sc = q0.shape
+    B, C, Sc = q0.shape
     go_ = jnp.int32(go)
     ge_ = jnp.int32(ge)
-    s_idx = (jax.lax.broadcasted_iota(jnp.int32, (C, Sc), 0) * Sc
-             + jax.lax.broadcasted_iota(jnp.int32, (C, Sc), 1))
+    s_idx = (jax.lax.broadcasted_iota(jnp.int32, (B, C, Sc), 1) * Sc
+             + jax.lax.broadcasted_iota(jnp.int32, (B, C, Sc), 2))
 
     @pl.when(t == 0)
     def _load():
         mbuf[0], mbuf[1] = min_ref[0], min_ref[1]
         ibuf[0], ibuf[1] = iin_ref[0], iin_ref[1]
         dbuf[0], dbuf[1] = din_ref[0], din_ref[1]
-        resm_ref[...] = jnp.full((C, Sc), NEG, jnp.int32)
-        resi_ref[...] = jnp.full((C, Sc), NEG, jnp.int32)
-        resd_ref[...] = jnp.full((C, Sc), NEG, jnp.int32)
+        resm_ref[...] = jnp.full((B, C, Sc), NEG, jnp.int32)
+        resi_ref[...] = jnp.full((B, C, Sc), NEG, jnp.int32)
+        resd_ref[...] = jnp.full((B, C, Sc), NEG, jnp.int32)
 
     cur = jax.lax.rem(dg, 2)
     prv = 1 - cur
@@ -534,9 +536,9 @@ def _affine_fwd_chunked_kernel(d0_ref, fin_ref, br_ref,
     off = m_pad - dg + 8 * Sc
     off_al = pl.multiple_of((off // 128) * 128, 128)
     r = off - off_al
-    win = br_ref[:, pl.ds(off_al, Sc + 128)].astype(jnp.int32)
-    win = pltpu.roll(win, jax.lax.rem(Sc + 128 - r, Sc + 128), axis=1)
-    be = win[:, :Sc]
+    win = br_ref[:, :, pl.ds(off_al, Sc + 128)].astype(jnp.int32)
+    win = pltpu.roll(win, jax.lax.rem(Sc + 128 - r, Sc + 128), axis=2)
+    be = win[:, :, :Sc]
     sc = _select_score(be, q0, q1, q2, q3, q4)
 
     m2s, i2s, d2s = _shift_chunked(m2), _shift_chunked(i2), _shift_chunked(d2)
@@ -570,16 +572,17 @@ def _affine_fwd_chunked_kernel(d0_ref, fin_ref, br_ref,
         dout_ref[0], dout_ref[1] = dbuf[0], dbuf[1]
 
 
-def _affine_fwd_chunked_call(Sc: int, *, n: int, m: int, gap_open: int,
-                             gap_extend: int, K: int, interpret: bool):
+def _affine_fwd_chunked_call(B: int, Sc: int, *, n: int, m: int,
+                             gap_open: int, gap_extend: int, K: int,
+                             interpret: bool):
     def vspec():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def sspec():
         return pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    state_shape = jax.ShapeDtypeStruct((2, 8, Sc), jnp.int32)
-    res_shape = jax.ShapeDtypeStruct((8, Sc), jnp.int32)
+    state_shape = jax.ShapeDtypeStruct((2, B, 8, Sc), jnp.int32)
+    res_shape = jax.ShapeDtypeStruct((B, 8, Sc), jnp.int32)
     kern = functools.partial(_affine_fwd_chunked_kernel, n_pad=n, m_pad=m,
                              go=gap_open, ge=gap_extend, s_chunk=Sc, K=K)
     return pl.pallas_call(
@@ -588,7 +591,8 @@ def _affine_fwd_chunked_call(Sc: int, *, n: int, m: int, gap_open: int,
         in_specs=[sspec(), sspec()] + [vspec()] * 9,
         out_specs=tuple([vspec()] * 6),
         out_shape=tuple([state_shape] * 3 + [res_shape] * 3),
-        scratch_shapes=[pltpu.VMEM((2, 8, Sc), jnp.int32) for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((2, B, 8, Sc), jnp.int32)
+                        for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -601,18 +605,22 @@ def _affine_bwd_window_kernel(d0_ref, wlo_ref, br_ref, q0, q1, q2, q3, q4,
                               min_ref, iin_ref, din_ref, trace_ref,
                               mbuf, ibuf, dbuf, *, n_pad: int, m_pad: int,
                               go: int, ge: int, s_size: int, K: int):
-    """Backward re-fill of one checkerboard restricted to a W-lane window
-    [wlo, wlo+W): dependencies move at most one lane per diagonal, so
-    cells in the traceback corridor are exact as long as the window
-    extends K lanes left of the path's entry lane. Emits the packed
-    M/I/D trace rows; VMEM cost is O(W), independent of n."""
+    """Backward re-fill of one checkerboard restricted to a PER-PAIR
+    W-lane window [wlo_b, wlo_b+W): dependencies move at most one lane
+    per diagonal, so cells in the traceback corridor are exact as long as
+    the window extends K lanes left of the path's entry lane. Emits the
+    packed M/I/D trace rows; VMEM cost is O(W), independent of n.
+
+    The caller pre-slices beta codes and profiles to each pair's window
+    (br_ref[b, y] = br_full[b, y0_b + y] with y0_b = m_pad + s_size +
+    wlo_b - d0 - K), which makes the in-kernel window offset depend only
+    on the grid step: off = K - 1 - t."""
     t = pl.program_id(0)
     dg = d0_ref[0, 0] + 1 + t
-    wlo = wlo_ref[0, 0]
     B, W = q0.shape
     go_ = jnp.int32(go)
     ge_ = jnp.int32(ge)
-    s_idx = wlo + jax.lax.broadcasted_iota(jnp.int32, (B, W), dimension=1)
+    s_idx = wlo_ref[...] + jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
     @pl.when(t == 0)
     def _load():
@@ -625,8 +633,7 @@ def _affine_bwd_window_kernel(d0_ref, wlo_ref, br_ref, q0, q1, q2, q3, q4,
     m1, i1, d1 = mbuf[prv], ibuf[prv], dbuf[prv]
     m2, i2, d2 = mbuf[cur], ibuf[cur], dbuf[cur]
 
-    # beta window: beta code of cell (dg, s) at index off + wlo + l
-    off = m_pad - dg + s_size + wlo
+    off = K - 1 - t
     off_al = pl.multiple_of((off // 128) * 128, 128)
     r = off - off_al
     win = br_ref[:, pl.ds(off_al, W + 128)].astype(jnp.int32)
@@ -675,7 +682,7 @@ def _affine_bwd_window_call(B: int, W: int, *, n: int, m: int,
     return pl.pallas_call(
         kern,
         grid=(K,),
-        in_specs=[sspec(), sspec()] + [vspec()] * 9,
+        in_specs=[sspec(), vspec()] + [vspec()] * 9,
         out_specs=pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, B, W), jnp.int8),
@@ -716,49 +723,54 @@ def _walk_block(trace, d0, soff, i, j, k, *, K: int, W: int):
     return i, j, k, ops
 
 
-def affine_gap_lowmem(alpha, beta, scores, gap_open: int, gap_extend: int,
-                      *, checkersize: int = 2048, interpret: bool = False):
-    """Chromosome-scale affine alignment in O(n+m) HBM: forward chunked
-    wavefront saving only block-edge state every `checkersize` diagonals,
-    then per-block windowed re-fill + on-device trace walk for traceback —
-    the reference's checkerboard scheme (align/affineGap.go:20-54,219-273)
-    rebuilt as tiled Pallas wavefronts.
+def affine_gap_lowmem_batch(alphas, betas, scores, gap_open: int,
+                            gap_extend: int, *, checkersize: int = 2048,
+                            interpret: bool = False):
+    """Chromosome-scale affine alignment of B equal-size pairs in
+    O(B*(n+m)) HBM: forward chunked wavefront (batched over pairs along
+    the leading dim) saving only block-edge state every `checkersize`
+    diagonals, then per-block windowed re-fill with PER-PAIR traceback
+    corridors + on-device trace walk — the reference's checkerboard
+    scheme (align/affineGap.go:20-54,219-273) rebuilt as tiled Pallas
+    wavefronts.
 
-    Returns (score, ops, i0, j0) with ops the backward M/I/D op codes
-    (0/1/2) from (n, m) toward the origin; use pairwise.affine_gap_lowmem
-    for cigars. HBM: checkpoints O((n+m)/K * n) + one O(K^2) trace block;
-    VMEM: forward O(n) chunked rows, backward O(K) window rows."""
+    alphas (B, n), betas (B, m) int8. Returns a list of (score, ops,
+    i0, j0) per pair with ops the backward M/I/D op codes (0/1/2) from
+    (n, m) toward the origin. HBM: checkpoints O(B*(n+m)/K * n) + one
+    O(B*K^2) trace block; VMEM: forward O(B*n), backward O(B*K)."""
     import numpy as onp
 
-    alpha = jnp.asarray(alpha, jnp.int8)[None]
-    beta = jnp.asarray(beta, jnp.int8)[None]
-    n = alpha.shape[1]
-    m = beta.shape[1]
+    alphas = jnp.asarray(alphas, jnp.int8)
+    betas = jnp.asarray(betas, jnp.int8)
+    B, n = alphas.shape
+    m = betas.shape[1]
     S8 = _round_up(n + 1, 1024)  # 8 sublane chunks of Sc lanes
     Sc = S8 // 8
     K = int(checkersize)
     d_total = n + m
     W = min(S8, _round_up(2 * K + 640, 128))
+    Wsl = K + W + 256  # pre-sliced beta window width for the bwd kernel
 
-    profiles, br = _build_inputs(alpha, beta, scores, S8, m)
-    br_flat = br[0]
+    profiles, br = _build_inputs(alphas, betas, scores, S8, m)
     width2 = _round_up(S8 + m + Sc + 256, 128)
-    br2 = jnp.stack([br_flat[c * Sc: c * Sc + width2] for c in range(8)])
-    profs_c = [q.reshape(8, Sc) for q in profiles]
+    br2 = jnp.stack([br[:, c * Sc: c * Sc + width2] for c in range(8)],
+                    axis=1)  # (B, 8, width2)
+    profs_c = [q.reshape(B, 8, Sc) for q in profiles]
     fin = jnp.full((1, 1), d_total, jnp.int32)
 
     s_iota = jnp.arange(S8)
     flat0 = [jnp.where(s_iota == 0, 0, NEG).astype(jnp.int32),
              jnp.where(s_iota == 0, gap_open, NEG).astype(jnp.int32)]
-    negrow = jnp.full((8, Sc), NEG, jnp.int32)
-    sm = jnp.stack([flat0[0].reshape(8, Sc), negrow])
-    si = jnp.stack([flat0[1].reshape(8, Sc), negrow])
+    negrow = jnp.full((B, 8, Sc), NEG, jnp.int32)
+    rep = lambda f: jnp.broadcast_to(f.reshape(1, 8, Sc), (B, 8, Sc))
+    sm = jnp.stack([rep(flat0[0]), negrow])
+    si = jnp.stack([rep(flat0[1]), negrow])
     sd = si
 
-    fwd = _affine_fwd_chunked_call(Sc, n=n, m=m, gap_open=gap_open,
+    fwd = _affine_fwd_chunked_call(B, Sc, n=n, m=m, gap_open=gap_open,
                                    gap_extend=gap_extend, K=K,
                                    interpret=interpret)
-    bwd = _affine_bwd_window_call(1, W, n=n, m=m, gap_open=gap_open,
+    bwd = _affine_bwd_window_call(B, W, n=n, m=m, gap_open=gap_open,
                                   gap_extend=gap_extend, s_size=S8, K=K,
                                   interpret=interpret)
 
@@ -776,49 +788,79 @@ def affine_gap_lowmem(alpha, beta, scores, gap_open: int, gap_extend: int,
         if blk == fb:
             resm, resi, resd = rm, ri, rd
 
-    fm = int(resm.reshape(S8)[n])
-    fi = int(resi.reshape(S8)[n])
-    fd = int(resd.reshape(S8)[n])
-    if fm >= fi and fm >= fd:
-        k0, score = 0, fm
-    elif fi >= fd:
-        k0, score = 1, fi
-    else:
-        k0, score = 2, fd
-
-    @functools.partial(jax.jit, static_argnames=())
-    def _window_state(state, wlo):
-        flat = state.reshape(2, S8)
-        return jax.lax.dynamic_slice(flat, (0, wlo), (2, W))[:, None, :]
+    fm = onp.asarray(resm.reshape(B, S8)[:, n])
+    fi = onp.asarray(resi.reshape(B, S8)[:, n])
+    fd = onp.asarray(resd.reshape(B, S8)[:, n])
+    k0 = onp.where((fm >= fi) & (fm >= fd), 0,
+                   onp.where(fi >= fd, 1, 2)).astype(onp.int32)
+    score = onp.choose(k0, [fm, fi, fd])
 
     @jax.jit
-    def _window_profiles(wlo):
-        return [jax.lax.dynamic_slice(q, (0, wlo), (1, W))
-                for q in profiles]
+    def _window_state(state, wlo):
+        flat = state.reshape(2, B, S8)
+
+        def sl(f, w):
+            return jax.lax.dynamic_slice(f, (0, w), (2, W))
+
+        return jax.vmap(sl, in_axes=(1, 0), out_axes=1)(flat, wlo)
+
+    # left-pad beta codes by K so the pre-slice start y0+K is always
+    # >= 0 (y0 itself can dip negative in a block's junk tail steps)
+    brp = jnp.pad(br, ((0, 0), (K, 0)), constant_values=4)
+
+    @jax.jit
+    def _window_inputs(wlo, d0):
+        def slq(q, w):
+            return jax.lax.dynamic_slice(q, (w,), (W,))
+
+        qs = [jax.vmap(slq)(q, wlo) for q in profiles]
+        y0 = m + S8 + wlo - d0  # == (true y0) + K into the padded array
+
+        def slb(b, y):
+            return jax.lax.dynamic_slice(b, (y,), (Wsl,))
+
+        return qs, jax.vmap(slb)(brp, y0)
 
     # backward: re-fill one block at a time, walk its windowed trace
-    i_cur, j_cur, k_cur = n, m, k0
+    i_cur = onp.full(B, n, onp.int32)
+    j_cur = onp.full(B, m, onp.int32)
+    k_cur = k0.copy()
     ops_parts = []
     for blk in range(fb, -1, -1):
-        wlo = max(0, min(((i_cur - 2 * K - 128) // 128) * 128, S8 - W))
+        wlo = onp.clip(((i_cur - 2 * K - 128) // 128) * 128, 0, S8 - W)
+        wlo_j = jnp.asarray(wlo, jnp.int32)
         sm_b, si_b, sd_b = ckpts[blk]
-        trace = bwd(scalar(blk * K), scalar(wlo), br,
-                    *_window_profiles(wlo),
-                    _window_state(sm_b, wlo), _window_state(si_b, wlo),
-                    _window_state(sd_b, wlo))
+        qs, br_sl = _window_inputs(wlo_j, blk * K)
+        trace = bwd(scalar(blk * K), wlo_j[:, None], br_sl, *qs,
+                    _window_state(sm_b, wlo_j), _window_state(si_b, wlo_j),
+                    _window_state(sd_b, wlo_j))
         iv, jv, kv, ops = _walk_block(
-            trace, jnp.asarray(blk * K), jnp.asarray(wlo),
-            jnp.asarray([i_cur]), jnp.asarray([j_cur]),
-            jnp.asarray([k_cur]), K=K, W=W)
-        i_cur = int(iv[0])
-        j_cur = int(jv[0])
-        k_cur = int(kv[0])
-        ops_parts.append(onp.asarray(ops)[:, 0])
+            trace, jnp.asarray(blk * K), wlo_j,
+            jnp.asarray(i_cur), jnp.asarray(j_cur),
+            jnp.asarray(k_cur), K=K, W=W)
+        i_cur = onp.asarray(iv)
+        j_cur = onp.asarray(jv)
+        k_cur = onp.asarray(kv)
+        ops_parts.append(onp.asarray(ops))  # (K, B)
 
-    ops_back = onp.concatenate(ops_parts) if ops_parts else \
-        onp.zeros(0, onp.int8)
-    ops_back = ops_back[ops_back != 4]
-    return score, ops_back, i_cur, j_cur
+    ops_all = onp.concatenate(ops_parts, axis=0) if ops_parts else \
+        onp.zeros((0, B), onp.int8)
+    out = []
+    for b in range(B):
+        ob = ops_all[:, b]
+        out.append((int(score[b]), ob[ob != 4], int(i_cur[b]),
+                    int(j_cur[b])))
+    return out
+
+
+def affine_gap_lowmem(alpha, beta, scores, gap_open: int, gap_extend: int,
+                      *, checkersize: int = 2048, interpret: bool = False):
+    """Single-pair affine_gap_lowmem_batch; returns (score, ops, i0, j0)."""
+    [(score, ops, i0, j0)] = affine_gap_lowmem_batch(
+        jnp.asarray(alpha, jnp.int8)[None], jnp.asarray(beta, jnp.int8)[None],
+        scores, gap_open, gap_extend, checkersize=checkersize,
+        interpret=interpret)
+    return score, ops, i0, j0
 
 
 def _affine_stream_kernel(brC_hbm, q0_hbm, q1_hbm, res_ref,

@@ -61,3 +61,37 @@ def test_lowmem_cigar_consumes_sequences():
     n_used = sum(c.run_length for c in route if c.op in (COL_M, COL_D))
     m_used = sum(c.run_length for c in route if c.op in (COL_M, COL_I))
     assert (n_used, m_used) == (75, 88)
+
+
+def test_lowmem_batch_matches_oracle():
+    # B pairs with DIFFERENT content (and so different traceback
+    # corridors) through one batched forward + per-pair windowed bwd
+    from gonomics_tpu.ops.wavefront import affine_gap_lowmem_batch
+
+    rng = np.random.default_rng(21)
+    B, n, m = 5, 70, 90
+    alphas = rng.integers(0, 4, (B, n)).astype(np.int8)
+    betas = rng.integers(0, 4, (B, m)).astype(np.int8)
+    # make one pair highly similar (straight corridor) and one adversarial
+    betas[2, :n] = alphas[2]
+    res = affine_gap_lowmem_batch(alphas, betas, HUMAN_CHIMP_TWO,
+                                  -600, -150, checkersize=16,
+                                  interpret=True)
+    for b in range(B):
+        want_score, want_route = oracle.affine_gap(
+            alphas[b], betas[b], HUMAN_CHIMP_TWO, -600, -150)
+        score, ops, i0, j0 = res[b]
+        assert score == want_score, b
+        # replay ops (backward M/I/D from (n, m)); the walk may stop on
+        # a boundary with a residual pure-gap run (i0/j0 > 0)
+        i, j = n, m
+        for op in ops:
+            op = int(op)
+            if op == 0:
+                i, j = i - 1, j - 1
+            elif op == 1:
+                j -= 1
+            else:
+                i -= 1
+        assert (i, j) == (i0, j0)
+        assert i0 == 0 or j0 == 0
