@@ -12,6 +12,8 @@ from __future__ import annotations
 import argparse
 import datetime
 import os
+import sys
+import time
 
 import numpy as np
 
@@ -299,13 +301,22 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
 
     n_exp = len(experimental_files)
     ref = Seeker(ref_file)
+    t0 = time.perf_counter()
+    n_sites = n_vars = 0
     for piles in sync_pileups(sample_piles):
+        n_sites += 1
         v = get_variant(piles[:n_exp], piles[n_exp:], headers[0], ref,
                         max_p, min_af, max_af, max_strand_bias,
                         min_coverage, min_alt_reads)
         if v is not None:
+            n_vars += 1
             vcfio.write_vcf(out, v)
     ref.close()
+    # per-stage summary like the reference's pipeline timing lines
+    # (cmd/gsw/pairedEndFastqs.go:69-72)
+    dt = max(time.perf_counter() - t0, 1e-9)
+    print(f"callVariants: {n_sites} sites tested, {n_vars} variants "
+          f"in {dt:.1f}s ({n_sites / dt:.0f} sites/s)", file=sys.stderr)
     if out_file not in ("-", "stdout"):
         out.close()
 

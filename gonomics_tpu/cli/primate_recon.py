@@ -27,7 +27,7 @@ import numpy as np
 from .. import dna
 from ..io import fasta as fastaio
 from ..phylo.etree import find_node, read_tree
-from ..phylo.reconstruct import _fix_fc, _inside
+from ..phylo.reconstruct import fix_fc, inside
 
 
 def base_is_present(b: np.ndarray) -> np.ndarray:
@@ -43,15 +43,17 @@ def node_likelihoods(root, node_name: str):
     node = find_node(root, node_name)
     if node is None:
         raise SystemExit(f"Didn't find {node_name} in the tree")
-    leaves_seq = None
     cur = root
     while cur.left is not None:
         cur = cur.left
-    leaves_seq = cur.fasta.seq
-    P = len(leaves_seq)
-    inside: dict[int, np.ndarray] = {}
-    _inside(root, P, False, inside)
-    return _fix_fc(root, node, False, inside), node
+    if cur.fasta is None:
+        raise SystemExit(
+            f"leaf {cur.name} has no sequence in the input multiFa "
+            "(every tree leaf must appear in the alignment)")
+    P = len(cur.fasta.seq)
+    store: dict[int, np.ndarray] = {}
+    inside(root, P, False, store)
+    return fix_fc(root, node, False, store), node
 
 
 def call_bases_unbiased(fix: np.ndarray, prob_threshold: float) -> np.ndarray:

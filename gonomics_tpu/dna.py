@@ -202,3 +202,10 @@ def melting_temp(seq: np.ndarray) -> float:
         d_s += _NN_TABLE["selfComp"][1]
     d_s += 0.368 * (len(seq) - 1) * math.log(50e-3)
     return (1000 * d_h) / (d_s + r_const * math.log(k)) - 273.15
+
+
+def define_base_mask(seq: np.ndarray) -> np.ndarray:
+    """dna.DefineBase vectorized (/root/reference/dna/dna.go): True for
+    A/C/G/T in either case; False for N, gaps, dots, Nil."""
+    s = np.asarray(seq)
+    return (s < 4) | ((s >= LOWER_A) & (s <= LOWER_T))

@@ -21,10 +21,32 @@ from typing import Iterator, IO
 GZIP_MAGIC = b"\x1f\x8b"
 
 
+def _is_url(filename: str) -> bool:
+    # the reference dispatches on `strings.Contains(filename, "http")`
+    # (easyio.go:33) — we require a real scheme prefix so local files
+    # with "http" in the name still open as files
+    return filename.startswith(("http://", "https://"))
+
+
+def _open_url(filename: str) -> IO[bytes]:
+    """fileio.EasyHttp (http.go:14-30): stream a URL; gunzip when the
+    url ends in .gz (URL responses are not seekable, so suffix-based
+    like the reference rather than magic-sniffed)."""
+    from urllib.request import urlopen
+
+    resp = urlopen(filename)
+    if filename.endswith(".gz"):
+        return gzip.GzipFile(fileobj=resp)  # type: ignore[return-value]
+    return resp
+
+
 def easy_open(filename: str) -> IO[str]:
-    """Open for reading, transparently decompressing gzip (easyio.go:16-42)."""
+    """Open for reading, transparently decompressing gzip (easyio.go:16-42);
+    http(s):// URLs stream via EasyHttp semantics (http.go:14-30)."""
     if filename == "-" or filename == "/dev/stdin":
         return sys.stdin
+    if _is_url(filename):
+        return io.TextIOWrapper(_open_url(filename), encoding="utf-8")
     f = open(filename, "rb")
     magic = f.read(2)
     f.seek(0)
@@ -34,12 +56,21 @@ def easy_open(filename: str) -> IO[str]:
 
 
 def easy_open_binary(filename: str) -> IO[bytes]:
+    if _is_url(filename):
+        return _open_url(filename)
     f = open(filename, "rb")
     magic = f.read(2)
     f.seek(0)
     if magic == GZIP_MAGIC:
         return gzip.GzipFile(fileobj=f)  # type: ignore[return-value]
     return f
+
+
+def cat_url(url: str) -> str:
+    """fileio.CatUrl (http.go:30-37): the whole URL as newline-joined
+    non-comment lines."""
+    with easy_open(url) as f:
+        return "".join(ln if ln.endswith("\n") else ln + "\n" for ln in f)
 
 
 def easy_create(filename: str) -> IO[str]:

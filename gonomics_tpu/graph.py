@@ -613,3 +613,72 @@ def _index_cross(g: GenomeGraph, prev_seq: np.ndarray, node: Node,
         for e in node.next:
             _index_cross(g, ext, g.nodes[e.dest], home_id, home_pos,
                          seed_len, put)
+
+
+def fa_split_by_ns(records) -> list:
+    """genomeGraph.FaSplitByNs / chrSplitByNs (the reference keeps these
+    as commented-out intent, graphTools.go:191-208): split every record
+    into its ungapped (defined-base) runs, named "<chrom>_<start>_<end>"
+    like bed.UngappedRegionsFromFa."""
+    from .io import bed as bedio
+    from .io.fasta import Fasta
+
+    out = []
+    for rec in records:
+        for b in bedio.ungapped_regions_from_fa(rec):
+            out.append(Fasta(b.name, rec.seq[b.chrom_start:b.chrom_end]))
+    return out
+
+
+def split_graph_chr(records, vcfs) -> dict:
+    """genomeGraph.SplitGraphChr (commented intent, graphTools.go:36-48):
+    one variant graph per chromosome, keyed by name; variants are routed
+    to their chromosome."""
+    by_chrom: dict[str, list] = {}
+    for v in vcfs:
+        by_chrom.setdefault(v.chrom, []).append(v)
+    return {rec.name: variant_graph([rec],
+                                    {rec.name: by_chrom.get(rec.name, [])})
+            for rec in records}
+
+
+def node_split_by_ns(g: GenomeGraph, node_id: int) -> list[int]:
+    """genomeGraph.NodeSplitByNs (commented intent, graphTools.go:285):
+    split one node's sequence on N runs into a chain of defined-base
+    nodes (edges weight 1 between consecutive pieces, inherited prev/next
+    edges at the ends). Returns the new node ids; no-op for N-free
+    nodes."""
+    from . import dna as dnamod
+    import numpy as np
+
+    node = g.nodes[node_id]
+    orig = np.asarray(node.seq)
+    mask = dnamod.define_base_mask(orig)
+    if len(orig) == 0 or mask.all():
+        return [node_id]
+    edges_at = np.flatnonzero(np.diff(mask.astype(np.int8)))
+    starts = ([0] if mask[0] else []) + [int(e) + 1 for e in edges_at
+                                         if not mask[e]]
+    ends = [int(e) + 1 for e in edges_at if mask[e]] + \
+        ([len(mask)] if mask[-1] else [])
+    pieces = list(zip(starts, ends))
+    if not pieces:  # all-N node collapses to an empty node
+        pieces = [(0, 0)]
+    # first piece replaces the node in place (keeps its prev edges);
+    # the original outgoing edges move to the last piece
+    old_next = node.next
+    node.seq = orig[pieces[0][0]:pieces[0][1]]
+    node.next = []
+    prev_node = node
+    ids = [node_id]
+    for s, e in pieces[1:]:
+        nn = Node(id=len(g.nodes), seq=orig[s:e])
+        g.nodes.append(nn)
+        ids.append(nn.id)
+        add_edge(prev_node, nn, 1)
+        prev_node = nn
+    for ed in old_next:
+        dest = g.nodes[ed.dest]
+        dest.prev = [p for p in dest.prev if p.dest != node_id]
+        add_edge(prev_node, dest, ed.prob)
+    return ids

@@ -197,3 +197,33 @@ def to_tss(b: Bed) -> Bed:
 
 def total_size(records: list[Bed]) -> int:
     return sum(b.chrom_end - b.chrom_start for b in records)
+
+
+def ungapped_regions_from_fa(rec) -> list[Bed]:
+    """bed.UngappedRegionsFromFa (/root/reference/bed/info.go:58-76):
+    maximal runs of defined (A/C/G/T) bases as 4-field beds."""
+    from .. import dna as dnamod
+
+    mask = dnamod.define_base_mask(rec.seq)
+    out: list[Bed] = []
+    if len(mask) == 0:
+        return out
+    import numpy as np
+
+    edges = np.flatnonzero(np.diff(mask.astype(np.int8)))
+    starts = ([0] if mask[0] else []) + [int(e) + 1 for e in edges
+                                         if not mask[e]]
+    ends = [int(e) + 1 for e in edges if mask[e]] + \
+        ([len(mask)] if mask[-1] else [])
+    for s, e in zip(starts, ends):
+        out.append(Bed(rec.name, s, e, f"{rec.name}_{s}_{e}",
+                       fields_initialized=4))
+    return out
+
+
+def ungapped_regions_all_from_fa(records) -> list[Bed]:
+    """bed.UngappedRegionsAllFromFa (info.go:78-86)."""
+    out: list[Bed] = []
+    for rec in records:
+        out.extend(ungapped_regions_from_fa(rec))
+    return out

@@ -367,3 +367,9 @@ def ils_reconstruct_seq(all_post_probs: list[dict], all_recons: list,
         raise SystemExit(f"This reconstruction returns a pDNA base that "
                          f"does not sum to 1 at {int(bad[0])}")
     return PFastaRec("ilsRecon", total)
+
+
+# public names for tools layered on the reconstruction internals
+# (cli/primate_recon.py); same contracts as the underscored forms
+inside = _inside
+fix_fc = _fix_fc
