@@ -1,19 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: affine-gap DP throughput (GCUPS) on one TPU chip.
-
-Prints ONE JSON line:
+"""Headline benchmark matrix. Prints ONE JSON line:
   {"metric": "affine_gap_gcups", "value": N, "unit": "GCUPS",
    "vs_baseline": N, ...}
 
-vs_baseline compares against a single-threaded C++ Gotoh DP compiled at
-bench time (native/affine_baseline.cpp) — the performance class of the
-reference Go align.AffineGap (no Go toolchain on this machine; see
-BASELINE.md "Measurement plan").
+Covers all five BASELINE.json configs: affine-gap GCUPS (score-mode
+streamed kernel + trace mode), gsw reads/s (linear 1 Mbp + 100 Mbp +
+graph engine), faFindFast windows/s, pileup+callVariants sites/s, plus
+the chromosome-scale lowmem batch and the 8-device virtual-mesh scaling
+check. vs_baseline denominators are single-threaded C++ implementations
+of the reference's hot loops compiled at bench time (native/*.cpp; no Go
+toolchain on this machine — see BASELINE.md "Measurement plan").
 
-Timing note: block_until_ready is unreliable over the axon tunnel and a
-sync fetch costs ~30ms RTT, so device time is measured by running chains
-of data-dependent kernel calls and differencing two chain lengths.
-"""
+Every TPU stage runs in its own subprocess under a hard timeout, so a
+wedged device tunnel costs one stage, not the whole bench. Compiled
+kernels must equal the numpy oracle before any timing (fast-but-wrong
+numbers must not ship). Device timing uses data-dependent call chains
+and chain-length differencing (block_until_ready is unreliable over the
+axon tunnel)."""
 
 from __future__ import annotations
 
@@ -23,135 +26,443 @@ import subprocess
 import sys
 import time
 
+HERE = os.path.dirname(os.path.abspath(__file__))
 
-def measure_baseline() -> float:
-    """Single-thread C++ affine DP cells/s."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "native", "affine_baseline.cpp")
-    exe = os.path.join(here, "native", "affine_baseline")
+
+def _build(name: str, *compile_args: str) -> str:
+    src = os.path.join(HERE, "native", name + ".cpp")
+    exe = os.path.join(HERE, "native", name)
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
-        subprocess.run(["g++", "-O2", "-o", exe, src], check=True)
-    out = subprocess.run([exe, "1024", "1024", "40"], check=True,
-                         capture_output=True, text=True)
-    return float(out.stdout.strip())
+        subprocess.run(["g++", "-O2", "-o", exe, src, *compile_args],
+                       check=True)
+    return exe
 
 
-def check_compiled_parity(B: int = 8, L: int = 96) -> None:
-    """Compiled-TPU kernel scores must equal the numpy oracle before any
-    timing (a miscompile must not ship a fast-but-wrong number)."""
-    import numpy as np
-    import jax
-
-    from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
-    from gonomics_tpu.align import oracle
-    from gonomics_tpu.ops.wavefront import wavefront_align
-
-    rng = np.random.default_rng(7)
-    alpha = rng.integers(0, 4, (B, L)).astype(np.int8)
-    beta = rng.integers(0, 4, (B, L)).astype(np.int8)
-    fin = np.full((B, 1), 2 * L, np.int32)
-    res = np.asarray(jax.device_get(wavefront_align(
-        alpha, beta, fin, HUMAN_CHIMP_TWO, n=L, m=L,
-        gap_open=-600, gap_extend=-150, with_trace=False, mode="affine")))
-    got = res[:, L]  # cell (n, m) lives at s=n on diagonal n+m
-    for b in range(B):
-        want, _ = oracle.affine_gap(alpha[b], beta[b], HUMAN_CHIMP_TWO,
-                                    -600, -150)
-        assert got[b] == want, f"device/oracle mismatch: {got[b]} != {want}"
+def _stage(code: str, timeout: int) -> dict:
+    """Run a bench stage in a subprocess; last stdout line is its JSON."""
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout, cwd=HERE)
+        line = out.stdout.strip().split("\n")[-1] if out.stdout.strip() else ""
+        if out.returncode != 0 or not line.startswith("{"):
+            return {"error": (out.stderr.strip() or out.stdout.strip())[-300:]}
+        return json.loads(line)
+    except subprocess.TimeoutExpired:
+        return {"error": f"stage timeout ({timeout}s)"}
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)[-300:]}
 
 
-def measure_tpu(B: int = 256, L: int = 1024, with_trace: bool = False) -> float:
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
+_PRELUDE = r"""
+import json, time
+import numpy as np
+import jax, jax.numpy as jnp
 
-    from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
-    from gonomics_tpu.ops.wavefront import wavefront_align
 
-    rng = np.random.default_rng(0)
-    alpha = jnp.asarray(rng.integers(0, 4, (B, L)), jnp.int8)
-    beta = jnp.asarray(rng.integers(0, 4, (B, L)), jnp.int8)
-    fin = jnp.full((B, 1), 2 * L, jnp.int32)
-
-    def chain(k, alpha):
+def chain_rate(fn, reinject, cells, k_short, k_long, reps=3):
+    # data-dependent chains; difference two lengths to cancel dispatch
+    def chain(k):
         res = None
+        x = None
         for _ in range(k):
-            res = wavefront_align(alpha, beta, fin, HUMAN_CHIMP_TWO, n=L, m=L,
-                                  gap_open=-600, gap_extend=-150,
-                                  with_trace=with_trace, mode="affine")
-            if with_trace:
-                res = res[0]
-            # data dependency serializes successive kernel calls on-device
-            alpha = jnp.clip(jnp.abs(res[:, :L]) % 4, 0, 3).astype(jnp.int8)
+            res = fn(x)
+            x = reinject(res)
         return res
-
-    np.asarray(chain(1, alpha))  # warm-up/compile
-
-    def timed(k: int) -> float:
+    np.asarray(jax.device_get(chain(1)))
+    def timed(k):
         t0 = time.perf_counter()
-        np.asarray(chain(k, alpha))
+        np.asarray(jax.device_get(chain(k)))
         return time.perf_counter() - t0
+    ts = min(timed(k_short) for _ in range(reps))
+    tl = min(timed(k_long) for _ in range(reps))
+    dt = (tl - ts) / (k_long - k_short)
+    return cells / dt, dt
+"""
 
-    short, long_ = (2, 10) if with_trace else (2, 34)
-    t_short = min(timed(short) for _ in range(3))
-    t_long = min(timed(long_) for _ in range(3))
-    dt = (t_long - t_short) / (long_ - short)
-    return B * L * L / dt
+
+def stage_score_stream() -> dict:
+    """Score-mode GCUPS: the two-pairs-per-lane streamed kernel, with a
+    compiled-parity gate and the plain kernel as reference point."""
+    return _stage(_PRELUDE + r"""
+from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
+from gonomics_tpu.align import oracle
+from gonomics_tpu.ops.wavefront import wavefront_affine_stream, wavefront_align
+
+# compiled parity first (small shape)
+rng = np.random.default_rng(5)
+P, B, n = 4, 8, 96
+al = rng.integers(0, 4, (P, B, n)).astype(np.int8)
+be = rng.integers(0, 5, (P, B, n)).astype(np.int8)
+got = np.asarray(jax.device_get(wavefront_affine_stream(
+    jnp.asarray(al), jnp.asarray(be), HUMAN_CHIMP_TWO,
+    n=n, m=n, gap_open=-600, gap_extend=-150)))
+for p in range(P):
+    for b in range(B):
+        want, _ = oracle.affine_gap(al[p, b], be[p, b], HUMAN_CHIMP_TWO,
+                                    -600, -150)
+        assert got[p, b] == want, (p, b, int(got[p, b]), want)
+
+P, B, L = 8, 256, 1024
+alpha = jnp.asarray(np.random.default_rng(0).integers(0, 4, (P, B, L)), jnp.int8)
+beta = jnp.asarray(np.random.default_rng(1).integers(0, 4, (P, B, L)), jnp.int8)
+
+def f(x):
+    a = alpha if x is None else jnp.bitwise_and(alpha + x[:, :, None].astype(jnp.int8), 3)
+    return wavefront_affine_stream(a, beta, HUMAN_CHIMP_TWO, n=L, m=L,
+                                   gap_open=-600, gap_extend=-150)
+
+rate, dt = chain_rate(f, lambda r: r, P * B * L * L, 2, 8)
+out = {"score_gcups": round(rate / 1e9, 2),
+       "score_config": "stream P=8 x B=256 pairs, 1024x1024, humanChimpTwo",
+       "score_parity": "compiled == oracle (P=4,B=8,L=96)"}
+
+# plain (non-streamed) kernel for reference
+a1 = jnp.asarray(np.random.default_rng(2).integers(0, 4, (B, L)), jnp.int8)
+b1 = jnp.asarray(np.random.default_rng(3).integers(0, 4, (B, L)), jnp.int8)
+fin = jnp.full((B, 1), 2 * L, jnp.int32)
+
+def g(x):
+    a = a1 if x is None else jnp.bitwise_and(a1 + x[:, :L].astype(jnp.int8), 3)
+    return wavefront_align(a, b1, fin, HUMAN_CHIMP_TWO, n=L, m=L,
+                           gap_open=-600, gap_extend=-150,
+                           with_trace=False, mode="affine")
+
+rate2, _ = chain_rate(g, lambda r: r, B * L * L, 2, 16)
+out["score_gcups_plain"] = round(rate2 / 1e9, 2)
+print(json.dumps(out))
+""", timeout=1200)
 
 
-def measure_reads_per_s(B: int = 2048, L: int = 150,
-                        genome_len: int = 1_000_000) -> float:
-    """End-to-end batched read alignment (seed + vote + device DP +
-    on-device traceback + SAM assembly), reads/s steady-state."""
-    import numpy as np
+def stage_trace() -> dict:
+    """Trace-mode GCUPS (BASELINE cfg 2) with compiled cigar parity of
+    the full local_align_full path against the numpy oracle."""
+    return _stage(_PRELUDE + r"""
+from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
+from gonomics_tpu.align import oracle, pairwise
+from gonomics_tpu.ops.wavefront import wavefront_align
 
-    from gonomics_tpu import dna
-    from gonomics_tpu.io.fasta import Fasta
-    from gonomics_tpu.io.fastq import Fastq
-    from gonomics_tpu.tpu_align import TpuReadAligner
+# compiled trace parity: full cigars through the batched API
+rng = np.random.default_rng(11)
+pairs = []
+for _ in range(8):
+    a = rng.integers(0, 4, 96).astype(np.int8)
+    b = a.copy()
+    for p in rng.integers(0, 96, 5):
+        b[p] = (b[p] + 1) % 4
+    b = np.concatenate([b[:40], b[43:]])  # indel
+    pairs.append((a, b.astype(np.int8)))
+got = pairwise.affine_gap_batch(pairs, HUMAN_CHIMP_TWO, -600, -150,
+                                backend="tpu")
+for (a, b), (s, route) in zip(pairs, got):
+    ws, wr = oracle.affine_gap(a, b, HUMAN_CHIMP_TWO, -600, -150)
+    assert s == ws
+    assert [(c.run_length, c.op) for c in route] == \
+        [(c.run_length, c.op) for c in wr]
 
-    rng = np.random.default_rng(0)
-    genome = rng.integers(0, 4, genome_len).astype(np.int8)
-    al = TpuReadAligner([Fasta("chr1", genome)])
+B, L = 128, 1024
+alpha = jnp.asarray(np.random.default_rng(0).integers(0, 4, (B, L)), jnp.int8)
+beta = jnp.asarray(np.random.default_rng(1).integers(0, 4, (B, L)), jnp.int8)
+fin = jnp.full((B, 1), 2 * L, jnp.int32)
 
-    def make_reads(seed):
-        r = np.random.default_rng(seed)
-        reads = []
-        for i in range(B):
-            start = int(r.integers(0, genome_len - L))
-            seq = genome[start:start + L].copy()
-            for _ in range(3):
-                p = int(r.integers(0, L))
-                seq[p] = (seq[p] + 1) % 4
-            if i % 2:
-                seq = dna.reverse_complement(seq).astype(np.int8)
-            reads.append(Fastq(f"r{i}", seq, np.full(L, 30, np.uint8)))
-        return reads
+def f(x):
+    a = alpha if x is None else jnp.bitwise_and(alpha + x[:, :L].astype(jnp.int8), 3)
+    r = wavefront_align(a, beta, fin, HUMAN_CHIMP_TWO,
+                        n=L, m=L, gap_open=-600, gap_extend=-150,
+                        with_trace=True, mode="affine")
+    return r[0]
 
-    al.align_batch(make_reads(0))  # warm-up/compile
-    # double-buffered steady state — the gsw CLI's actual pipeline
-    # (batch i+1 host prep overlaps batch i device DP)
-    batches = [make_reads(t + 1) for t in range(4)]
-    best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        pending = None
-        for reads in batches:
-            handle = al.align_batch_async(reads)
-            if pending is not None:
-                al.finish_batch(pending)
-            pending = handle
+rate, _ = chain_rate(f, lambda r: r, B * L * L, 2, 8)
+print(json.dumps({
+    "trace_gcups": round(rate / 1e9, 2),
+    "trace_config": "B=128, 1024x1024, with traceback (BASELINE cfg 2)",
+    "trace_parity": "compiled cigars == oracle (B=8, L=96, indels)"}))
+""", timeout=1200)
+
+
+def stage_lowmem() -> dict:
+    """Chromosome-scale batched lowmem path: B=8 pairs, full traceback,
+    oracle-checked on a small shape first."""
+    return _stage(r"""
+import json, time
+import numpy as np
+import jax
+from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
+from gonomics_tpu.align import oracle
+from gonomics_tpu.ops.wavefront import affine_gap_lowmem_batch
+
+rng = np.random.default_rng(3)
+a = rng.integers(0, 4, (2, 300)).astype(np.int8)
+b = rng.integers(0, 4, (2, 300)).astype(np.int8)
+res = affine_gap_lowmem_batch(a, b, HUMAN_CHIMP_TWO, -600, -150,
+                              checkersize=128)
+for i in range(2):
+    ws, _ = oracle.affine_gap(a[i], b[i], HUMAN_CHIMP_TWO, -600, -150)
+    assert res[i][0] == ws
+
+B, n = 8, 16384
+alphas = rng.integers(0, 4, (B, n)).astype(np.int8)
+betas = rng.integers(0, 4, (B, n)).astype(np.int8)
+affine_gap_lowmem_batch(alphas, betas, HUMAN_CHIMP_TWO, -600, -150,
+                        checkersize=2048)  # warm-up/compile
+t0 = time.perf_counter()
+affine_gap_lowmem_batch(alphas, betas, HUMAN_CHIMP_TWO, -600, -150,
+                        checkersize=2048)
+dt = time.perf_counter() - t0
+print(json.dumps({
+    "lowmem_gcups": round(B * n * n / dt / 1e9, 2),
+    "lowmem_config": "B=8 pairs 16k x 16k, full traceback, K=2048",
+    "lowmem_parity": "batch scores == oracle (B=2, 300x300)"}))
+""", timeout=1200)
+
+
+def stage_reads() -> dict:
+    """End-to-end linear reads/s (BASELINE cfg 4): 1 Mbp steady state +
+    the graph engine on a variant graph."""
+    return _stage(r"""
+import json, time
+import numpy as np
+from gonomics_tpu import dna
+from gonomics_tpu.io.fasta import Fasta
+from gonomics_tpu.io.fastq import Fastq, to_big
+from gonomics_tpu.tpu_align import TpuReadAligner
+
+rng = np.random.default_rng(0)
+genome_len, B, L = 1_000_000, 2048, 150
+genome = rng.integers(0, 4, genome_len).astype(np.int8)
+al = TpuReadAligner([Fasta("chr1", genome)])
+
+def make_reads(seed):
+    r = np.random.default_rng(seed)
+    reads = []
+    for i in range(B):
+        start = int(r.integers(0, genome_len - L))
+        seq = genome[start:start + L].copy()
+        for _ in range(3):
+            p = int(r.integers(0, L))
+            seq[p] = (seq[p] + 1) % 4
+        if i % 2:
+            seq = dna.reverse_complement(seq).astype(np.int8)
+        reads.append(Fastq(f"r{i}", seq, np.full(L, 30, np.uint8)))
+    return reads
+
+al.align_batch(make_reads(0))  # warm-up/compile
+batches = [make_reads(t + 1) for t in range(4)]
+best = 0.0
+for _ in range(2):
+    t0 = time.perf_counter()
+    pending = None
+    for reads in batches:
+        handle = al.align_batch_async(reads)
+        if pending is not None:
+            al.finish_batch(pending)
+        pending = handle
+    al.finish_batch(pending)
+    best = max(best, len(batches) * B / (time.perf_counter() - t0))
+out = {"reads_per_s_1chip": round(best),
+       "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM"}
+
+# graph engine: variant graph of a 200 kb genome, reads along its paths
+from gonomics_tpu.graph import variant_graph
+from gonomics_tpu.gsw_tpu import TpuGswAligner
+from gonomics_tpu.io.vcf import Vcf
+
+g_len = 200_000
+ref = rng.integers(0, 4, g_len).astype(np.int8)
+vcfs = []
+for pos in range(1000, g_len - 1000, 4000):
+    vcfs.append(Vcf(chrom="chr1", pos=pos, id=".",
+                    ref=dna.to_string(ref[pos - 1:pos]),
+                    alt=[dna.to_string((ref[pos - 1:pos] + 1) % 4)],
+                    info="SVTYPE=SNP"))
+g = variant_graph([Fasta("chr1", ref)], {"chr1": vcfs})
+aligner = TpuGswAligner(g, seed_len=21, step_size=8)
+
+GB, GL = 256, 150
+def graph_reads(seed):
+    r = np.random.default_rng(seed)
+    reads = []
+    for i in range(GB):
+        s = int(r.integers(0, g_len - GL))
+        seq = ref[s:s + GL].copy()
+        seq[int(r.integers(0, GL))] = (seq[int(r.integers(0, GL))] + 1) % 4
+        if i % 2:
+            seq = dna.reverse_complement(seq).astype(np.int8)
+        reads.append(to_big(Fastq(f"g{i}", seq, np.full(GL, 30, np.uint8))))
+    return reads
+
+aligner.align_batch(graph_reads(0))  # warm-up/compile
+t0 = time.perf_counter()
+aligner.align_batch(graph_reads(1))
+out["graph_reads_per_s"] = round(GB / (time.perf_counter() - t0), 1)
+out["graph_config"] = "150bp x 256/batch, 200kb variant graph (50 SNP nodes), giraf"
+print(json.dumps(out))
+""", timeout=1800)
+
+
+def stage_genome_scale() -> dict:
+    """>=100 Mbp proof: index build time + peak RSS + steady reads/s."""
+    return _stage(r"""
+import json, resource, time
+import numpy as np
+from gonomics_tpu import dna
+from gonomics_tpu.io.fasta import Fasta
+from gonomics_tpu.io.fastq import Fastq
+from gonomics_tpu.tpu_align import TpuReadAligner
+
+rng = np.random.default_rng(0)
+G, B, L = 100_000_000, 2048, 150
+genome = rng.integers(0, 4, G).astype(np.int8)
+t0 = time.perf_counter()
+al = TpuReadAligner([Fasta("chr1", genome)])
+build_s = time.perf_counter() - t0
+
+def make_reads(seed):
+    r = np.random.default_rng(seed)
+    starts = r.integers(0, G - L, B)
+    reads = []
+    for i, s in enumerate(starts):
+        seq = genome[s:s + L].copy()
+        seq[int(r.integers(0, L))] = (seq[int(r.integers(0, L))] + 1) % 4
+        if i % 2:
+            seq = dna.reverse_complement(seq).astype(np.int8)
+        reads.append(Fastq(f"r{i}", seq, np.full(L, 30, np.uint8)))
+    return reads
+
+sams = al.align_batch(make_reads(0))  # warm-up/compile
+mapped = sum(1 for s in sams if not s.flag & 4)
+batches = [make_reads(t + 1) for t in range(3)]
+t0 = time.perf_counter()
+pending = None
+for reads in batches:
+    handle = al.align_batch_async(reads)
+    if pending is not None:
         al.finish_batch(pending)
+    pending = handle
+al.finish_batch(pending)
+rps = len(batches) * B / (time.perf_counter() - t0)
+rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+print(json.dumps({
+    "genome100mb_reads_per_s": round(rps),
+    "genome100mb_index_build_s": round(build_s, 1),
+    "genome100mb_peak_rss_gb": round(rss, 2),
+    "genome100mb_mapped_frac": round(mapped / B, 3),
+    "genome100mb_config": "100 Mbp synthetic, 150bp x 2048/batch"}))
+""", timeout=1800)
+
+
+def stage_fa_find_fast() -> dict:
+    """faFindFast windows/s (BASELINE cfg 3) vs the C++ incremental-scan
+    baseline (host stage: this path is vectorized numpy)."""
+    try:
+        exe = _build("fafindfast_baseline")
+        out = subprocess.run([exe, "2000000", "1000", "5"], check=True,
+                             capture_output=True, text=True, timeout=300)
+        base_wps = float(out.stdout.split()[0])
+
+        import io as _io
+
+        import numpy as np
+
+        from gonomics_tpu.cli.fa_find_fast import speedy_window_difference
+
+        rng = np.random.default_rng(0)
+        n, w = 2_000_000, 1000
+        a = rng.integers(0, 4, n).astype(np.int8)
+        b = np.where(rng.random(n) < 0.02,
+                     rng.integers(0, 4, n), a).astype(np.int8)
+
+        def run():
+            speedy_window_difference(
+                a, a, b, window_size=w, ref_chrom_name="chr1",
+                remove_n=False, long_output=False,
+                divergence_rate=sys.float_info.max, output_aln_pos=False,
+                gc_content=False, out=_io.StringIO())
+
+        run()  # warm-up
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            run()
+        wps = reps * (n - w + 1) / (time.perf_counter() - t0)
+        return {"fafindfast_windows_per_s": round(wps),
+                "fafindfast_baseline_windows_per_s": round(base_wps),
+                "fafindfast_vs_baseline": round(wps / base_wps, 2),
+                "fafindfast_config": "2 Mbp pair, window 1000 (BASELINE cfg 3)"}
+    except Exception as e:  # noqa: BLE001
+        return {"fafindfast_error": str(e)[-300:]}
+
+
+def stage_call_variants() -> dict:
+    """pileup+callVariants sites/s (BASELINE cfg 5): simulateSam reads at
+    ~25x over 200 kb, tumor/normal -> VCF, vs the C++ pileup+Fisher
+    baseline (which pays no SAM parsing — favoring the baseline)."""
+    try:
+        exe = _build("callvariants_baseline")
+        out = subprocess.run([exe, "200000", "34000", "150"], check=True,
+                             capture_output=True, text=True, timeout=600)
+        base_sps = float(out.stdout.split()[0])
+
+        import contextlib
+        import io as _io
+        import tempfile
+
+        import numpy as np
+
+        from gonomics_tpu import dna
+        from gonomics_tpu.cli.call_variants import call_variants
+        from gonomics_tpu.io import sam as samio
+        from gonomics_tpu.io.fai import create_index, write_index
+        from gonomics_tpu.simulate import illumina_paired_sam
+
+        d = tempfile.mkdtemp()
+        rng = np.random.default_rng(0)
+        G = 200_000
+        ref = rng.integers(0, 4, G).astype(np.int8)
+        with open(f"{d}/ref.fa", "w") as fh:
+            fh.write(">chr1\n")
+            for i in range(0, G, 60):
+                fh.write(dna.to_string(ref[i:i + 60]) + "\n")
+        write_index(create_index(f"{d}/ref.fa"), f"{d}/ref.fa.fai")
+        header = samio.Header()
+        header.text = ["@HD\tVN:1.6\tSO:coordinate",
+                       f"@SQ\tSN:chr1\tLN:{G}"]
+        from gonomics_tpu.io.chrom_info import ChromInfo
+        header.chroms = [ChromInfo("chr1", G, 0)]
+        header.sort_order = ["coordinate"]
+        for name in ("tumor", "normal"):
+            recs = illumina_paired_sam("chr1", ref, 8500, 150, 400, 50,
+                                       0.005, rng)
+            recs.sort(key=lambda s: s.pos)
+            samio.write_sam(f"{d}/{name}.sam", header, recs)
+
+        t0 = time.perf_counter()
+        buf = _io.StringIO()
+        with contextlib.redirect_stderr(buf):
+            call_variants([f"{d}/tumor.sam"], [f"{d}/normal.sam"],
+                          f"{d}/ref.fa", os.devnull)
         dt = time.perf_counter() - t0
-        best = max(best, len(batches) * B / dt)
-    return best
+        sites = 0
+        for tok in buf.getvalue().split():
+            if tok.isdigit():
+                sites = int(tok)
+                break
+        sps = sites / dt if sites else None
+        return {"callvariants_sites_per_s": round(sps) if sps else None,
+                "callvariants_baseline_sites_per_s": round(base_sps),
+                "callvariants_vs_baseline":
+                    round(sps / base_sps, 2) if sps else None,
+                "callvariants_config":
+                    "200kb, ~25x simulateSam tumor/normal -> VCF "
+                    "(BASELINE cfg 5; baseline pays no SAM parse)"}
+    except Exception as e:  # noqa: BLE001
+        return {"callvariants_error": str(e)[-300:]}
 
 
-def measure_multichip_virtual() -> dict:
+def stage_multichip() -> dict:
     """Sharded-vs-single equality + reads/s on an 8-device VIRTUAL CPU
-    mesh (subprocess; pallas interpreted — a correctness/scaling-shape
-    check, not silicon perf). Real multi-chip hardware is unavailable on
-    this machine (BASELINE.md)."""
+    mesh (pallas interpreted — a correctness/scaling-shape check, not
+    silicon perf). Real multi-chip hardware is unavailable here."""
     code = r"""
 import os, sys, time
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS","")
@@ -177,8 +488,8 @@ for i in range(B):
         seq = dna.reverse_complement(seq).astype(np.int8)
     reads.append(Fastq(f"r{i}", seq, np.full(L, 30, np.uint8)))
 
-def rps(mesh):
-    al = TpuReadAligner([Fasta("chr1", genome)], mesh=mesh)
+def rps(mesh, **kw):
+    al = TpuReadAligner([Fasta("chr1", genome)], mesh=mesh, **kw)
     out = al.align_batch(reads)  # warm-up/compile
     t0 = time.perf_counter()
     out = al.align_batch(reads)
@@ -186,63 +497,59 @@ def rps(mesh):
 
 single, r1 = rps(None)
 sharded, r8 = rps(make_mesh(8, data=8, seq=1))
-print("EQUAL" if single == sharded else "DIFFER", round(r1), round(r8))
+prefix, _ = rps(make_mesh(8, data=8, seq=1), index_sharding="prefix")
+print("EQUAL" if single == sharded == prefix else "DIFFER",
+      round(r1), round(r8))
 """
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=420,
-                         cwd=os.path.dirname(os.path.abspath(__file__)))
     try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=600,
+                             cwd=HERE)
         tok = out.stdout.strip().split("\n")[-1].split()
         return {"sharded_equals_single": tok[0] == "EQUAL",
+                "prefix_index_equals_single": tok[0] == "EQUAL",
                 "reads_per_s_1dev_virtual_cpu": int(tok[1]),
                 "reads_per_s_8dev_virtual_cpu": int(tok[2])}
     except (IndexError, ValueError):
         return {"sharded_equals_single": False,
                 "error": out.stderr.strip()[-300:]}
+    except subprocess.TimeoutExpired:
+        return {"sharded_equals_single": False, "error": "timeout"}
 
 
 def main() -> None:
-    # Each stage is fenced: one failure (e.g. a wedged TPU tunnel or a
-    # compile regression) must not cost the whole JSON line.
     out = {
         "metric": "affine_gap_gcups",
         "value": None,
         "unit": "GCUPS",
         "vs_baseline": None,
         "baseline": "single-thread C++ Gotoh (Go-reference class), this host",
-        "config": "B=256 pairs, 1024x1024, humanChimpTwo, score-only",
+        "config": "stream P=8 x B=256 pairs, 1024x1024, score-only",
     }
     base = None
     try:
-        base = measure_baseline()
+        exe = _build("affine_baseline")
+        r = subprocess.run([exe, "1024", "1024", "40"], check=True,
+                           capture_output=True, text=True, timeout=300)
+        base = float(r.stdout.strip())
         out["baseline_gcups"] = round(base / 1e9, 3)
     except Exception as e:  # noqa: BLE001
         out["baseline_error"] = str(e)[-200:]
-    try:
-        check_compiled_parity()
-        out["compiled_parity"] = "device scores == numpy oracle (B=8, L=96)"
-        tpu = measure_tpu()
-        out["value"] = round(tpu / 1e9, 2)
-        if base:
-            out["vs_baseline"] = round(tpu / base, 1)
-    except Exception as e:  # noqa: BLE001
-        out["tpu_error"] = str(e)[-300:]
-    try:
-        tpu_trace = measure_tpu(B=128, with_trace=True)
-        out["trace_gcups"] = round(tpu_trace / 1e9, 2)
-        out["trace_config"] = "B=128, 1024x1024, with traceback (BASELINE cfg 2)"
-    except Exception as e:  # noqa: BLE001
-        out["trace_error"] = str(e)[-300:]
-    try:
-        rps = measure_reads_per_s()
-        out["reads_per_s_1chip"] = round(rps)
-        out["reads_config"] = "150bp x 2048/batch, 1Mbp genome, end-to-end SAM"
-    except Exception as e:  # noqa: BLE001
-        out["reads_error"] = str(e)[-300:]
-    try:
-        out["multichip"] = measure_multichip_virtual()
-    except Exception as e:  # noqa: BLE001
-        out["multichip"] = {"error": str(e)[-300:]}
+
+    s = stage_score_stream()
+    out.update(s)
+    if "score_gcups" in s:
+        out["value"] = s["score_gcups"]
+        if base is not None and base > 0:
+            out["vs_baseline"] = round(s["score_gcups"] * 1e9 / base, 1)
+
+    out.update(stage_trace())
+    out.update(stage_lowmem())
+    out.update(stage_reads())
+    out.update(stage_genome_scale())
+    out.update(stage_fa_find_fast())
+    out.update(stage_call_variants())
+    out["multichip"] = stage_multichip()
     print(json.dumps(out))
 
 

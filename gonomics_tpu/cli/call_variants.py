@@ -272,26 +272,57 @@ def get_variant(exp: list[Pile], norm: list[Pile], header: samio.Header,
     return _adjust_alts(v, deletion_indexes, types, ref)
 
 
+class _CachedSeeker(Seeker):
+    """Seeker that loads each chromosome once and serves slices from
+    memory — getVariant asks for one anchor base per site, which would
+    otherwise cost a file seek per site."""
+
+    def __init__(self, fasta_path: str, index_path: str = ""):
+        super().__init__(fasta_path, index_path)
+        self._cache: dict[str, np.ndarray] = {}
+
+    def chrom_array(self, chrom: str) -> np.ndarray:
+        arr = self._cache.get(chrom)
+        if arr is None:
+            arr = super().seek_by_name(chrom, 0, self.by_name[chrom].length)
+            self._cache[chrom] = arr
+        return arr
+
+    def seek_by_name(self, chrom: str, start: int, end: int) -> np.ndarray:
+        if start > end or start < 0:
+            raise ValueError("bad seek range")
+        return self.chrom_array(chrom)[start:min(end,
+                                                 self.by_name[chrom].length)]
+
+
 def call_variants(experimental_files: list[str], normal_files: list[str],
                   ref_file: str, out_file: str, max_p=0.001, min_af=0.01,
                   max_af=1.0, max_strand_bias=0.9, min_coverage=10,
                   min_mapq=10, min_alt_reads=1, mesh=None) -> None:
+    """Joint caller (callVariants.go:40-127) with a vectorized candidate
+    prescreen: the dense per-chromosome count tensors (pileup_dense)
+    yield, in one pass, the sites where getVariant could possibly emit —
+    exp data present AND (a non-ref/non-gap base count, or indel
+    evidence) — exactly the condition for getPossibleAlts to be
+    non-empty (testVariant.go:166-285). Only those sites materialize
+    Pile objects and run the exact per-site caller, so output is
+    byte-identical to the site-by-site loop."""
+    from ..pileup import pile_from_dense, pileup_dense
+
     out = fileio.easy_create(out_file)
     vcfio.new_write_header(
         out, make_output_header(experimental_files + normal_files))
 
     read_filters = [lambda s: s.mapq >= min_mapq]
-    pile_filters = [lambda p: calc_depth(p) >= min_coverage]
 
     headers = []
-    sample_piles = []
+    dense = []
     for fn in experimental_files + normal_files:
         header, reads = samio.read(fn)
         if not header.text:
             raise SystemExit("ERROR: sam/bam files must have headers")
         headers.append(header)
-        sample_piles.append(pileup(reads, header, read_filters, pile_filters,
-                                   mesh=mesh))
+        dense.append(pileup_dense(reads, header, read_filters, mesh=mesh))
 
     ref_chroms = headers[0].chroms
     for h in headers[1:]:
@@ -300,17 +331,81 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
                              "must match and be in the same order")
 
     n_exp = len(experimental_files)
-    ref = Seeker(ref_file)
+    n_samp = len(dense)
+    ref = _CachedSeeker(ref_file)
     t0 = time.perf_counter()
     n_sites = n_vars = 0
-    for piles in sync_pileups(sample_piles):
-        n_sites += 1
-        v = get_variant(piles[:n_exp], piles[n_exp:], headers[0], ref,
-                        max_p, min_af, max_af, max_strand_bias,
-                        min_coverage, min_alt_reads)
-        if v is not None:
-            n_vars += 1
-            vcfio.write_vcf(out, v)
+    all_refidx = sorted(set().union(*[set(d) for d in dense]))
+    for refidx in all_refidx:
+        chrom = headers[0].chroms[refidx].name
+        cds = [d.get(refidx) for d in dense]
+        lo = min(cd.lo for cd in cds if cd is not None)
+        hi = max(cd.lo + cd.counts.shape[0] for cd in cds if cd is not None)
+        for cd in cds:
+            if cd is not None:
+                hi = max(hi, max(cd.ins.keys(), default=hi - 1) + 1)
+        L = hi - lo
+        exists = np.zeros((n_samp, L), bool)
+        expsum = np.zeros((L, 13), np.int64)
+        indel_ev = np.zeros(L, bool)
+        for i, cd in enumerate(cds):
+            if cd is None:
+                continue
+            span = cd.counts.shape[0]
+            off = cd.lo - lo
+            cnt = cd.counts.sum(axis=2)  # (span, 13)
+            depth = cnt.sum(axis=1).astype(np.int64)
+            touched = cd.counts.any(axis=(1, 2))
+            dvec = np.zeros(L, np.int64)
+            tvec = np.zeros(L, bool)
+            dvec[off:off + span] = depth
+            tvec[off:off + span] = touched
+            for p, (mf, mr) in cd.ins.items():
+                dvec[p - lo] += sum(mf.values()) + sum(mr.values())
+                tvec[p - lo] = True
+            exists[i] = tvec & (dvec >= min_coverage)
+            if i < n_exp:
+                contrib = np.zeros((L, 13), np.int64)
+                contrib[off:off + span] = cnt
+                expsum += contrib * exists[i][:, None]
+                for p, (mf, mr) in cd.ins.items():
+                    if exists[i, p - lo] and (any(v > 0 for v in mf.values())
+                                              or any(v > 0
+                                                     for v in mr.values())):
+                        indel_ev[p - lo] = True
+                for p, (mf, mr) in cd.dels.items():
+                    if p - lo >= 0 and p - lo < L and exists[i, p - lo] and \
+                            (any(v > 0 for v in mf.values())
+                             or any(v > 0 for v in mr.values())):
+                        indel_ev[p - lo] = True
+        union = exists.any(axis=0)
+        n_sites += int(union.sum())
+        exp_any = exists[:n_exp].any(axis=0)
+        # zero out the ref and Gap columns: what remains is exactly
+        # getPossibleAlts' SNV evidence
+        refarr = dna.to_upper(ref.chrom_array(chrom))
+        pos_idx = np.arange(lo, hi)
+        ref_codes = np.full(L, dna.N, np.int64)
+        valid_pos = (pos_idx >= 1) & (pos_idx <= len(refarr))
+        ref_codes[valid_pos] = refarr[pos_idx[valid_pos] - 1]
+        nonref = expsum.copy()
+        nonref[np.arange(L), np.clip(ref_codes, 0, 12)] = 0
+        nonref[:, dna.GAP] = 0
+        cand = exp_any & ((nonref.sum(axis=1) > 0) | indel_ev)
+        for p_off in np.nonzero(cand)[0].tolist():
+            pos = lo + p_off
+            piles = []
+            for i, cd in enumerate(cds):
+                if cd is not None and exists[i, p_off]:
+                    piles.append(pile_from_dense(cd, refidx, pos))
+                else:
+                    piles.append(Pile(ref_idx=-1))
+            v = get_variant(piles[:n_exp], piles[n_exp:], headers[0], ref,
+                            max_p, min_af, max_af, max_strand_bias,
+                            min_coverage, min_alt_reads)
+            if v is not None:
+                n_vars += 1
+                vcfio.write_vcf(out, v)
     ref.close()
     # per-stage summary like the reference's pipeline timing lines
     # (cmd/gsw/pairedEndFastqs.go:69-72)

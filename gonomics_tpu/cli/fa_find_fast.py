@@ -131,7 +131,25 @@ def speedy_window_difference(reference, first_query, second_query, *,
     aln_pos_col = np.concatenate(([0], base_pos[:-1] + 1))[ws] if K else ws
 
     name = ref_chrom_name
-    for i in np.nonzero(keep)[0]:
+    idx = np.nonzero(keep)[0]
+    if not long_output and not output_aln_pos and not gc_content:
+        # the default short format is the bulk path: native snprintf
+        # (native/seqio.cpp format_bed_windows) or one python join —
+        # np scalar indexing per window dominated the scan
+        from .. import native
+
+        muts_v = (total_subst + total_gaps)[idx]
+        s_v = chrom_start[idx]
+        e_v = chrom_end[idx]
+        text = native.format_bed_windows(name, s_v, e_v, muts_v)
+        if text is None:
+            text = "".join(
+                f"{name}\t{s}\t{e}\t{name}_{s}\t{m}\n"
+                for s, e, m in zip(s_v.tolist(), e_v.tolist(),
+                                   muts_v.tolist()))
+        out.write(text)
+        return
+    for i in idx:
         muts = int(total_subst[i] + total_gaps[i])
         s, e = int(chrom_start[i]), int(chrom_end[i])
         if long_output:

@@ -85,6 +85,23 @@ def from_string_forced(s: str | bytes) -> np.ndarray:
     return codes.astype(np.int8)
 
 
+_CHAR_TO_BASE_UPPER = np.full(256, N, dtype=np.int8)
+for _i, _ch in enumerate(b"ACGTN"):
+    _CHAR_TO_BASE_UPPER[_ch] = _i
+    _CHAR_TO_BASE_UPPER[_ch + 32] = _i  # lowercase -> upper code
+_CHAR_TO_BASE_UPPER[ord("-")] = GAP
+_CHAR_TO_BASE_UPPER[ord(".")] = DOT
+_CHAR_TO_BASE_UPPER[ord("*")] = NIL
+
+
+def from_string_upper_forced(s: str | bytes) -> np.ndarray:
+    """StringToBasesForced after ToUpper, in one table lookup — the SAM
+    seq-parsing hot path (case folded, invalid characters to N)."""
+    raw = np.frombuffer(s.encode() if isinstance(s, str) else s,
+                        dtype=np.uint8)
+    return _CHAR_TO_BASE_UPPER[raw]
+
+
 def to_string(seq: np.ndarray) -> str:
     """BasesToString (dna/convert.go:166)."""
     seq = np.asarray(seq)

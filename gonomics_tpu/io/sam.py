@@ -122,7 +122,7 @@ def parse_header_text(text: list[str]) -> Header:
 def _parse_sam_line(line: str) -> Sam:
     f = line.split("\t")
     seq = (np.zeros(0, np.int8) if f[9] == "*"
-           else dna.from_string_forced(f[9].upper()))
+           else dna.from_string_upper_forced(f[9]))
     return Sam(qname=f[0], flag=int(f[1]), rname=f[2], pos=int(f[3]),
                mapq=int(f[4]), cigar=samcigar.from_string(f[5]), rnext=f[6],
                pnext=int(f[7]), tlen=int(f[8]), seq=seq, qual=f[10],

@@ -48,6 +48,11 @@ def _load():
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.format_bed_windows.restype = ctypes.c_int64
+            lib.format_bed_windows.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64]
             _lib = lib
         except Exception:
             _lib = None
@@ -100,3 +105,26 @@ def fastq_parse_batch(data: bytes, max_records: int, max_len: int):
     name_list = bytes(names.tobytes()).split(b"\n")
     name_list = [s.decode() for s in name_list[:n]]
     return name_list, seq[:n], qual[:n], lens[:n]
+
+
+def format_bed_windows(name: str, starts: np.ndarray, ends: np.ndarray,
+                       muts: np.ndarray) -> str | None:
+    """Bulk-format faFindFast short bed lines; None if the native lib is
+    unavailable (caller falls back to python string building)."""
+    lib = _load()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(starts, np.int64)
+    e = np.ascontiguousarray(ends, np.int64)
+    m = np.ascontiguousarray(muts, np.int64)
+    n = len(s)
+    cap = max(1024, (2 * len(name.encode()) + 70) * n)
+    buf = ctypes.create_string_buffer(cap)
+    wrote = lib.format_bed_windows(
+        name.encode(), s.ctypes.data_as(ctypes.c_void_p),
+        e.ctypes.data_as(ctypes.c_void_p),
+        m.ctypes.data_as(ctypes.c_void_p), n, buf, cap)
+    if wrote < 0:
+        return None
+    # string_at copies only the written span (buf.raw would copy cap)
+    return ctypes.string_at(buf, int(wrote)).decode()

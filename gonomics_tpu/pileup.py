@@ -98,16 +98,53 @@ def pileup(reads: list[Sam], header: Header,
     over "data", genome span over "seq", psum-merged — see
     gonomics_tpu.parallel.shard_pileup_counts). Indel side tables stay on
     host (sparse, rare). Output is identical to the host path."""
+    chrom_data = pileup_dense(reads, header, read_filters, mesh=mesh)
+    out: list[Pile] = []
+    for refidx in sorted(chrom_data):
+        cd = chrom_data[refidx]
+        touched = set((np.nonzero(cd.counts.any(axis=(1, 2)))[0]
+                       + cd.lo).tolist())
+        touched.update(cd.ins.keys())
+        for p in sorted(touched):
+            pile = pile_from_dense(cd, refidx, int(p))
+            if pile_filters and not all(f(pile) for f in pile_filters):
+                continue
+            out.append(pile)
+    return out
+
+
+def pile_from_dense(cd: "_ChromCounts", refidx: int, p: int) -> Pile:
+    pile = Pile(ref_idx=refidx, pos=p,
+                count_f=cd.counts[p - cd.lo, :, 0].astype(np.int64),
+                count_r=cd.counts[p - cd.lo, :, 1].astype(np.int64))
+    if p in cd.ins:
+        pile.ins_count_f, pile.ins_count_r = cd.ins[p]
+    if p in cd.dels:
+        pile.del_count_f, pile.del_count_r = cd.dels[p]
+    return pile
+
+
+def pileup_dense(reads: list[Sam], header: Header, read_filters=None,
+                 mesh=None) -> dict[int, "_ChromCounts"]:
+    """The dense form of pileup(): per-chromosome (span, 13, 2) count
+    tensors + sparse indel side tables, BEFORE Pile materialization —
+    the TPU-native representation (SURVEY.md P4) that callVariants'
+    vectorized candidate prescreen operates on directly."""
     if header.sort_order[0] != "coordinate":
         raise ValueError("input sam/bam must be coordinate sorted")
     refmap = {c.name: c for c in header.chroms}
     chrom_data: dict[int, _ChromCounts] = {}
 
-    # gather dense scatter triples in bulk, indels into side tables
-    pos_l: list[np.ndarray] = []
+    # gather dense scatter runs in bulk (one (start, len, fwd, refidx)
+    # tuple per M/D cigar run; the arrays are built in one vectorized
+    # repeat/arange pass — per-op numpy allocations dominated at scale),
+    # indels into side tables
+    starts_l: list[int] = []
+    lens_l: list[int] = []
+    fwd_l: list[int] = []
+    ridx_l: list[int] = []
     base_l: list[np.ndarray] = []
-    strand_l: list[np.ndarray] = []
-    refidx_l: list[np.ndarray] = []
+    _gap_run = np.full(512, dna.GAP, np.int8)
 
     for s in reads:
         if samcigar.is_unmapped(s.cigar):
@@ -126,20 +163,23 @@ def pileup(reads: list[Sam], header: Header,
         seq_pos = 0
         for c in cig:
             if c.op in "M=X":
-                pos_l.append(np.arange(ref_pos, ref_pos + c.run_length))
-                base_l.append(np.asarray(
-                    s.seq[seq_pos:seq_pos + c.run_length], dtype=np.int64))
-                strand_l.append(np.full(c.run_length, fwd))
-                refidx_l.append(np.full(c.run_length, refidx))
+                starts_l.append(ref_pos)
+                lens_l.append(c.run_length)
+                fwd_l.append(fwd)
+                ridx_l.append(refidx)
+                base_l.append(s.seq[seq_pos:seq_pos + c.run_length])
                 ref_pos += c.run_length
                 seq_pos += c.run_length
             elif c.op == "D":
                 d = cd._del_maps(ref_pos)[fwd]
                 d[c.run_length] = d.get(c.run_length, 0) + 1
-                pos_l.append(np.arange(ref_pos, ref_pos + c.run_length))
-                base_l.append(np.full(c.run_length, dna.GAP))
-                strand_l.append(np.full(c.run_length, fwd))
-                refidx_l.append(np.full(c.run_length, refidx))
+                starts_l.append(ref_pos)
+                lens_l.append(c.run_length)
+                fwd_l.append(fwd)
+                ridx_l.append(refidx)
+                base_l.append(_gap_run[:c.run_length]
+                              if c.run_length <= len(_gap_run)
+                              else np.full(c.run_length, dna.GAP, np.int8))
                 ref_pos += c.run_length
             elif c.op == "I":
                 key = dna.to_string(s.seq[seq_pos:seq_pos + c.run_length])
@@ -152,11 +192,16 @@ def pileup(reads: list[Sam], header: Header,
                 if samcigar.consumes_query(c.op):
                     seq_pos += c.run_length
 
-    if pos_l:
-        pos = np.concatenate(pos_l)
-        base = np.concatenate(base_l)
-        strand = np.concatenate(strand_l)
-        ridx = np.concatenate(refidx_l)
+    if starts_l:
+        lens = np.asarray(lens_l, np.int64)
+        starts = np.asarray(starts_l, np.int64)
+        total = int(lens.sum())
+        csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        intra = np.arange(total) - np.repeat(csum, lens)
+        pos = np.repeat(starts, lens) + intra
+        base = np.concatenate(base_l).astype(np.int64)
+        strand = np.repeat(np.asarray(fwd_l, np.int64), lens)
+        ridx = np.repeat(np.asarray(ridx_l, np.int64), lens)
         for refidx, cd in chrom_data.items():
             m = ridx == refidx
             pm = pos[m]
@@ -172,28 +217,11 @@ def pileup(reads: list[Sam], header: Header,
                 cd.counts = np.zeros((span, 13, 2), np.int32)
                 np.add.at(cd.counts, (pm - lo, base[m], strand[m]), 1)
 
-    # emit piles in coordinate order
-    out: list[Pile] = []
-    for refidx in sorted(chrom_data):
-        cd = chrom_data[refidx]
+    for cd in chrom_data.values():
         if cd.counts is None:
             cd.counts = np.zeros((1, 13, 2), np.int32)
             cd.lo = min(cd.ins.keys(), default=1)
-        touched = set((np.nonzero(cd.counts.any(axis=(1, 2)))[0]
-                       + cd.lo).tolist())
-        touched.update(cd.ins.keys())
-        for p in sorted(touched):
-            pile = Pile(ref_idx=refidx, pos=int(p),
-                        count_f=cd.counts[p - cd.lo, :, 0].astype(np.int64),
-                        count_r=cd.counts[p - cd.lo, :, 1].astype(np.int64))
-            if p in cd.ins:
-                pile.ins_count_f, pile.ins_count_r = cd.ins[p]
-            if p in cd.dels:
-                pile.del_count_f, pile.del_count_r = cd.dels[p]
-            if pile_filters and not all(f(pile) for f in pile_filters):
-                continue
-            out.append(pile)
-    return out
+    return chrom_data
 
 
 def _device_counts(mesh, rel: np.ndarray, base: np.ndarray,

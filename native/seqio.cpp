@@ -11,6 +11,7 @@
 // Exposed as a C ABI for Python ctypes (gonomics_tpu/native.py).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -170,6 +171,37 @@ int64_t fastq_parse(const uint8_t* data, int64_t n, int32_t max_records,
         rec++;
     }
     return rec;
+}
+
+// Bulk bed-window line formatting for faFindFast's short output — the
+// per-window "chrom\tstart\tend\tchrom_start\tmuts\n" lines dominate the
+// vectorized scan (cmd/faFindFast semantics; scan math is numpy prefix
+// sums host-side). Returns bytes written, or -1 if buf is too small.
+static inline char* put_i64(char* p, int64_t v) {
+    if (v < 0) { *p++ = '-'; v = -v; }
+    char tmp[20];
+    int k = 0;
+    do { tmp[k++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+int64_t format_bed_windows(const char* name, const int64_t* s,
+                           const int64_t* e, const int64_t* m, int64_t n,
+                           char* buf, int64_t buf_len) {
+    size_t name_len = std::strlen(name);
+    char* p = buf;
+    char* end = buf + buf_len;
+    for (int64_t i = 0; i < n; i++) {
+        if ((size_t)(end - p) < 2 * name_len + 70) return -1;
+        std::memcpy(p, name, name_len); p += name_len; *p++ = '\t';
+        p = put_i64(p, s[i]); *p++ = '\t';
+        p = put_i64(p, e[i]); *p++ = '\t';
+        std::memcpy(p, name, name_len); p += name_len; *p++ = '_';
+        p = put_i64(p, s[i]); *p++ = '\t';
+        p = put_i64(p, m[i]); *p++ = '\n';
+    }
+    return p - buf;
 }
 
 }  // extern "C"
