@@ -248,19 +248,24 @@ def make_reads(seed):
 
 al.align_batch(make_reads(0))  # warm-up/compile
 batches = [make_reads(t + 1) for t in range(4)]
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 best = 0.0
-for _ in range(2):
-    t0 = time.perf_counter()
-    pending = None
-    for reads in batches:
-        handle = al.align_batch_async(reads)
-        if pending is not None:
-            al.finish_batch(pending)
-        pending = handle
-    al.finish_batch(pending)
-    best = max(best, len(batches) * B / (time.perf_counter() - t0))
+with ThreadPoolExecutor(max_workers=1) as ex:
+    for _ in range(2):
+        t0 = time.perf_counter()
+        futs = deque()
+        for reads in batches:
+            handle = al.align_batch_async(reads)
+            futs.append(ex.submit(al.finish_batch, handle))
+            while len(futs) > 2:
+                futs.popleft().result()
+        while futs:
+            futs.popleft().result()
+        best = max(best, len(batches) * B / (time.perf_counter() - t0))
 out = {"reads_per_s_1chip": round(best),
-       "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM"}
+       "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM, "
+                       "3-stage prep/device/assemble pipeline"}
 
 # graph engine: variant graph of a 200 kb genome, reads along its paths
 from gonomics_tpu.graph import variant_graph

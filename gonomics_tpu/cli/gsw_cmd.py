@@ -92,34 +92,36 @@ def _align_tpu(args) -> None:
         n_done += len(sams)
         _progress("gsw", n_done, t0)
 
-    # double-buffer: batch i+1's host-side seeding overlaps batch i's
-    # device DP (async dispatch); finish_batch blocks on the result
+    # 3-stage pipeline: batch i+1's host seeding (main thread) overlaps
+    # batch i's device DP (async dispatch) AND batch i-1's SAM assembly
+    # (worker thread); writes drain in order on the main thread, so
+    # output stays deterministic (the channel-pipelining analog of
+    # cmd/gsw/pairedEndFastqs.go:24-35)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     if len(args.files) == 3:
         r1 = fastqio.read(args.files[1])
         r2 = fastqio.read(args.files[2])
-        pending = None
-        for bi, i in enumerate(range(0, len(r1), args.batch)):
-            if sharded_out and bi % nproc != pid:
-                continue
-            pairs = list(zip(r1[i:i + args.batch], r2[i:i + args.batch]))
-            handle = al.align_pairs_async(pairs)
-            if pending is not None:
-                emit(al.finish_pairs(pending))
-            pending = handle
-        if pending is not None:
-            emit(al.finish_pairs(pending))
+        inputs = [list(zip(r1[i:i + args.batch], r2[i:i + args.batch]))
+                  for i in range(0, len(r1), args.batch)]
+        dispatch, finish = al.align_pairs_async, al.finish_pairs
     else:
         reads = fastqio.read(args.files[1])
-        pending = None
-        for bi, i in enumerate(range(0, len(reads), args.batch)):
+        inputs = [reads[i:i + args.batch]
+                  for i in range(0, len(reads), args.batch)]
+        dispatch, finish = al.align_batch_async, al.finish_batch
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = deque()
+        for bi, batch in enumerate(inputs):
             if sharded_out and bi % nproc != pid:
                 continue
-            handle = al.align_batch_async(reads[i:i + args.batch])
-            if pending is not None:
-                emit(al.finish_batch(pending))
-            pending = handle
-        if pending is not None:
-            emit(al.finish_batch(pending))
+            handle = dispatch(batch)
+            futs.append(ex.submit(finish, handle))
+            while len(futs) > 2:
+                emit(futs.popleft().result())
+        while futs:
+            emit(futs.popleft().result())
     _progress("gsw", n_done, t0, final=True)
     if out_path not in ("-", "/dev/stdout", "stdout"):
         out.close()

@@ -160,18 +160,16 @@ def split_index_prefix(codes: np.ndarray, pos: np.ndarray,
 
 
 def _batch_codes(seqs: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
-    """(B, K) codes of the k-mers starting at the given offsets."""
+    """(B, K) codes of the k-mers starting at the given offsets: k passes
+    of (B, K) column gathers (no (B, K, k) window materialization)."""
     B = seqs.shape[0]
     vals = np.where(seqs < 4, seqs, 0).astype(np.uint64)
-    bad = seqs >= 4
-    idx = offsets[None, :, None] + np.arange(k)[None, None, :]  # (1, K, k)
-    win = np.take_along_axis(vals[:, None, :].repeat(len(offsets), 1),
-                             idx.repeat(B, 0), axis=2)
     codes = np.zeros((B, len(offsets)), np.uint64)
     for j in range(k):
-        codes = (codes << np.uint64(2)) | win[:, :, j]
-    badwin = np.take_along_axis(bad[:, None, :].repeat(len(offsets), 1),
-                                idx.repeat(B, 0), axis=2).any(axis=2)
+        codes = (codes << np.uint64(2)) | vals[:, offsets + j]
+    bad = np.zeros((B, seqs.shape[1] + 1), np.int32)
+    np.cumsum(seqs >= 4, axis=1, out=bad[:, 1:])
+    badwin = (bad[:, offsets + k] - bad[:, offsets]) > 0
     codes[badwin] = np.uint64(1) << np.uint64(62)  # never matches genome
     return codes
 
@@ -328,12 +326,18 @@ class TpuReadAligner:
         return self.idx_pos[take].astype(np.int64), valid
 
     def _candidates_one_strand(self, seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        B, L = seqs.shape
+        L = seqs.shape[1]
         K = self.read_kmers
         offs = np.linspace(0, L - self.k, K).astype(np.int64)
         codes = _batch_codes(seqs, offs, self.k)  # (B, K)
-        H = self.max_hits
         hitpos, valid = self._lookup_hits(codes)
+        return self._vote(hitpos, valid, offs)
+
+    def _vote(self, hitpos: np.ndarray, valid: np.ndarray,
+              offs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        B = hitpos.shape[0]
+        K = self.read_kmers
+        H = self.max_hits
         diags = hitpos - offs[None, :, None]
         diags = np.where(valid, diags, np.int64(-1))
         # modal diagonal per read: sort the small (K*H) candidate list
@@ -359,8 +363,16 @@ class TpuReadAligner:
         return diag, votes, second
 
     def _candidates(self, fwd: np.ndarray, rev: np.ndarray) -> _Candidate:
-        df, vf, sf = self._candidates_one_strand(fwd)
-        dr, vr, sr = self._candidates_one_strand(rev)
+        # one index lookup for both strands (searchsorted over the big
+        # table is the prep hot spot; halving the calls helps the cache)
+        B, L = fwd.shape
+        K = self.read_kmers
+        offs = np.linspace(0, L - self.k, K).astype(np.int64)
+        codes = np.concatenate([_batch_codes(fwd, offs, self.k),
+                                _batch_codes(rev, offs, self.k)])
+        hitpos, valid = self._lookup_hits(codes)
+        df, vf, sf = self._vote(hitpos[:B], valid[:B], offs)
+        dr, vr, sr = self._vote(hitpos[B:], valid[B:], offs)
         use_fwd = vf >= vr
         return _Candidate(
             diag=np.where(use_fwd, df, dr),
@@ -383,16 +395,23 @@ class TpuReadAligner:
         from .ops.wavefront import local_align_full
 
         B = len(reads)
-        L = max(len(r.seq) for r in reads)
+        lens = np.fromiter((len(r.seq) for r in reads), np.int64, B)
+        L = int(lens.max())
         fwd = np.full((B, L), dna.N, np.int8)
-        lens = np.zeros(B, np.int64)
-        for i, r in enumerate(reads):
-            fwd[i, :len(r.seq)] = r.seq
-            lens[i] = len(r.seq)
-        rev = np.full((B, L), dna.N, np.int8)
-        for i, r in enumerate(reads):
-            rc = dna.reverse_complement(r.seq).astype(np.int8)
-            rev[i, :len(rc)] = rc
+        uniform = bool((lens == L).all())
+        if uniform:
+            for i, r in enumerate(reads):
+                fwd[i] = r.seq
+            # whole-batch reverse complement (the per-read loop was a
+            # serial host cost that bounded multi-chip scaling)
+            rev = dna.complement(fwd[:, ::-1]).astype(np.int8)
+        else:
+            for i, r in enumerate(reads):
+                fwd[i, :len(r.seq)] = r.seq
+            rev = np.full((B, L), dna.N, np.int8)
+            for i, r in enumerate(reads):
+                rc = dna.reverse_complement(r.seq).astype(np.int8)
+                rev[i, :len(rc)] = rc
 
         cand = self._candidates(fwd, rev)
         W = L + 2 * self.pad
