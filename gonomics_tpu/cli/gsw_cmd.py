@@ -85,11 +85,15 @@ def _align_tpu(args) -> None:
 
     def emit(sams) -> None:
         nonlocal n_done
-        for s in sams:
-            out.write(s.to_string() + "\n")
+        if isinstance(sams, str):  # native bulk-formatted SAM text
+            out.write(sams)
+            n_done += sams.count("\n")
+        else:
+            for s in sams:
+                out.write(s.to_string() + "\n")
+            n_done += len(sams)
         if sharded_out:
             out.write("#BATCH\n")
-        n_done += len(sams)
         _progress("gsw", n_done, t0)
 
     # 3-stage pipeline: batch i+1's host seeding (main thread) overlaps
@@ -110,7 +114,7 @@ def _align_tpu(args) -> None:
         reads = fastqio.read(args.files[1])
         inputs = [reads[i:i + args.batch]
                   for i in range(0, len(reads), args.batch)]
-        dispatch, finish = al.align_batch_async, al.finish_batch
+        dispatch, finish = al.align_batch_async, al.finish_batch_lines
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = deque()
         for bi, batch in enumerate(inputs):

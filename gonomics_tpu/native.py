@@ -53,6 +53,18 @@ def _load():
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64]
+            lib.format_sam_lines.restype = ctypes.c_int64
+            lib.format_sam_lines.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,      # qnames
+                ctypes.c_char_p, ctypes.c_int64,      # names
+                ctypes.c_void_p, ctypes.c_void_p,     # flags, rsel
+                ctypes.c_void_p, ctypes.c_void_p,     # poss, mapqs
+                ctypes.c_void_p, ctypes.c_void_p,     # scores, has_as
+                ctypes.c_void_p, ctypes.c_void_p,     # seqs, quals
+                ctypes.c_void_p, ctypes.c_int32,      # lens, L
+                ctypes.c_void_p, ctypes.c_void_p,     # cig_off, cig_cnt
+                ctypes.c_void_p, ctypes.c_void_p,     # run_lens, run_ops
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
             _lib = lib
         except Exception:
             _lib = None
@@ -127,4 +139,50 @@ def format_bed_windows(name: str, starts: np.ndarray, ends: np.ndarray,
     if wrote < 0:
         return None
     # string_at copies only the written span (buf.raw would copy cap)
+    return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
+                     mapqs, scores, has_as, seqs, quals, lens,
+                     cig_off, cig_cnt, run_lens, run_ops) -> str | None:
+    """Bulk-format SAM text lines (tpu_align emit path); None if the
+    native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    qn = qnames.encode()
+    nm = "\n".join(names).encode()
+    B, L = seqs.shape
+
+    def a(x, dt):
+        return np.ascontiguousarray(x, dt)
+
+    flags = a(flags, np.int32)
+    rsel = a(rsel, np.int32)
+    poss = a(poss, np.int32)
+    mapqs = a(mapqs, np.int32)
+    scores = a(scores, np.int64)
+    has_as = a(has_as, np.uint8)
+    seqs = a(seqs, np.int8)
+    quals = a(quals, np.uint8)
+    lens = a(lens, np.int32)
+    cig_off = a(cig_off, np.int32)
+    cig_cnt = a(cig_cnt, np.int32)
+    run_lens = a(run_lens, np.int32)
+    run_ops = a(run_ops, np.uint8)
+    cap = int(len(qn) + B * (2 * L + 80) + 12 * (len(run_lens) + 1) + 1024)
+    buf = ctypes.create_string_buffer(cap)
+    vp = ctypes.c_void_p
+    wrote = lib.format_sam_lines(
+        qn, len(qn), nm, len(nm),
+        flags.ctypes.data_as(vp), rsel.ctypes.data_as(vp),
+        poss.ctypes.data_as(vp), mapqs.ctypes.data_as(vp),
+        scores.ctypes.data_as(vp), has_as.ctypes.data_as(vp),
+        seqs.ctypes.data_as(vp), quals.ctypes.data_as(vp),
+        lens.ctypes.data_as(vp), L,
+        cig_off.ctypes.data_as(vp), cig_cnt.ctypes.data_as(vp),
+        run_lens.ctypes.data_as(vp), run_ops.ctypes.data_as(vp),
+        B, buf, cap)
+    if wrote < 0:
+        return None
     return ctypes.string_at(buf, int(wrote)).decode()

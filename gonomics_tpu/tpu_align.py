@@ -450,13 +450,13 @@ class TpuReadAligner:
                 jnp.asarray(read_seqs), jnp.asarray(windows),
                 jnp.asarray(n_vec), jnp.asarray(m_vec), self.scores,
                 n=L, m=W, gap=self.gap, interpret=self.interpret)
-        return reads, cand, starts, lens, res
+        return reads, cand, starts, lens, read_seqs, res
 
     def finish_batch(self, handle) -> list[samio.Sam]:
         """Block on the device result of align_batch_async and emit SAM."""
         import jax
 
-        reads, cand, starts, lens, res = handle
+        reads, cand, starts, lens, _seqs, res = handle
         score, i_end, _j_end, i0, j0, ops = jax.device_get(res)
         routes = self._routes_from_ops_batch(np.asarray(ops[:len(reads)]))
 
@@ -465,6 +465,106 @@ class TpuReadAligner:
             out.append(self._emit(r, b, score, i_end, i0, j0, routes[b],
                                   cand, starts, int(lens[b])))
         return out
+
+    def finish_batch_lines(self, handle) -> str:
+        """finish_batch, emitting the whole batch as SAM TEXT through the
+        native bulk formatter (native/seqio.cpp format_sam_lines) —
+        byte-identical to joining finish_batch()'s to_string()s, without
+        per-read Sam-object churn (the serial host cost that would bound
+        multi-chip scaling). Falls back to the object path for
+        non-uniform read lengths or a missing native lib."""
+        import jax
+
+        from . import native
+
+        reads, cand, starts, lens, read_seqs, res = handle
+        B = len(reads)
+        lens = np.asarray(lens)
+        if not native.available() or not (lens == lens[0]).all():
+            return "".join(s.to_string() + "\n"
+                           for s in self.finish_batch(handle))
+        score, i_end, _j, i0, j0, ops = (np.asarray(x)
+                                         for x in jax.device_get(res))
+        score, i_end, i0, j0 = (x[:B] for x in (score, i_end, i0, j0))
+        ops = ops[:B]
+
+        mapped = (score >= self.min_score) & (cand.votes > 0)
+        cig_off, cig_cnt, run_lens, run_ops, mapped = \
+            self._flat_cigars(ops, i0, i_end, lens, mapped)
+
+        gpos = starts[:B] + j0
+        ci = np.searchsorted(self._starts_arr, gpos, side="right") - 1
+        pos = gpos - self._starts_arr[ci] + 1
+        rsel = np.where(mapped, ci, -1).astype(np.int32)
+        poss = np.where(mapped, pos, 0).astype(np.int32)
+        flags = np.where(mapped, np.where(cand.strand, 0, 16),
+                         4).astype(np.int32)
+        margin = (cand.votes - cand.second).astype(np.int64)
+        mapqs = np.where(mapped, np.clip(10 * margin + 10, 0, 60),
+                         0).astype(np.int32)
+        quals = np.stack([r.qual for r in reads]).astype(np.uint8)
+        rev = ~np.asarray(cand.strand)
+        quals[rev] = quals[rev, ::-1]
+        text = native.format_sam_lines(
+            "\n".join(r.name for r in reads),
+            [c.name for c in self.chroms], flags, rsel, poss, mapqs,
+            score.astype(np.int64), mapped.astype(np.uint8),
+            read_seqs[:B], quals, lens.astype(np.int32),
+            cig_off, cig_cnt, run_lens, run_ops)
+        if text is None:
+            return "".join(s.to_string() + "\n"
+                           for s in self.finish_batch(handle))
+        return text
+
+    @staticmethod
+    def _flat_cigars(ops: np.ndarray, i0, i_end, lens, mapped):
+        """Forward-order flattened cigar runs (soft clips included) for
+        the whole batch, from the backward-walk op codes — all numpy."""
+        B, D = ops.shape
+        stop = ops >= 3
+        row_ends = np.where(stop.any(axis=1), stop.argmax(axis=1), D)
+        col = np.arange(D)[None, :]
+        valid = col < row_ends[:, None]
+        change = np.ones((B, D), bool)
+        change[:, 1:] = ops[:, 1:] != ops[:, :-1]
+        change &= valid
+        rows, starts_ = np.nonzero(change)
+        if len(rows):
+            codes = ops[rows, starts_]
+            ends = np.empty_like(starts_)
+            same = rows[:-1] == rows[1:]
+            ends[:-1] = np.where(same, starts_[1:], row_ends[rows[:-1]])
+            ends[-1] = row_ends[rows[-1]]
+            mid_len = ends - starts_
+        else:
+            codes = np.zeros(0, np.int8)
+            mid_len = np.zeros(0, np.int64)
+        seg_lo = np.searchsorted(rows, np.arange(B))
+        seg_len = np.searchsorted(rows, np.arange(B) + 1) - seg_lo
+        mapped = mapped & (seg_len > 0)
+        lead = mapped & (i0 > 0)
+        trail = mapped & (i_end < lens)
+        cnt = np.where(mapped, seg_len + lead + trail, 0).astype(np.int32)
+        off = np.zeros(B + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        total = int(off[-1])
+        fl = np.zeros(total, np.int32)
+        fo = np.zeros(total, np.uint8)
+        li = np.nonzero(lead)[0]
+        fl[off[li]] = i0[li]
+        fo[off[li]] = ord("S")
+        ti = np.nonzero(trail)[0]
+        fl[off[ti] + cnt[ti] - 1] = (lens - i_end)[ti]
+        fo[off[ti] + cnt[ti] - 1] = ord("S")
+        if len(rows):
+            keep = mapped[rows]
+            r = rows[keep]
+            k_in = (np.arange(len(rows)) - seg_lo[rows])[keep]
+            tgt = off[r] + lead[r] + seg_len[r] - 1 - k_in
+            fl[tgt] = mid_len[keep]
+            fo[tgt] = np.array([ord("M"), ord("D"), ord("I")],
+                               np.uint8)[codes[keep]]
+        return off[:B].astype(np.int32), cnt, fl, fo, mapped
 
     @staticmethod
     def _routes_from_ops_batch(ops: np.ndarray) -> list[list[CigarOp]]:

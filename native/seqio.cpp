@@ -204,4 +204,88 @@ int64_t format_bed_windows(const char* name, const int64_t* s,
     return p - buf;
 }
 
+// Bulk SAM line formatting for the batched read aligner's emit path
+// (tpu_align.finish_batch_lines): per-read Sam-object assembly +
+// f-string joins were the serial host cost bounding multi-chip scaling.
+// Layout matches io/sam.py Sam.to_string byte-for-byte.
+//   qnames/names: '\n'-joined tables; rsel < 0 means rname "*".
+//   cig_off/cig_cnt index into run_lens/run_ops (forward order, clips
+//   included); cnt == 0 emits "*".
+//   has_as != 0 appends "\tAS:i:<score>".
+// Returns bytes written, or -1 if buf is too small.
+int64_t format_sam_lines(const uint8_t* qnames, int64_t qnames_len,
+                         const uint8_t* names, int64_t names_len,
+                         const int32_t* flags, const int32_t* rsel,
+                         const int32_t* poss, const int32_t* mapqs,
+                         const int64_t* scores, const uint8_t* has_as,
+                         const int8_t* seqs, const uint8_t* quals,
+                         const int32_t* lens, int32_t L,
+                         const int32_t* cig_off, const int32_t* cig_cnt,
+                         const int32_t* run_lens, const uint8_t* run_ops,
+                         int64_t B, char* buf, int64_t buf_len) {
+    static const char BASE_CHR[16] = {'A', 'C', 'G', 'T', 'N', 'a', 'c',
+                                      'g', 't', 'n', '-', '.', '*', 'N',
+                                      'N', 'N'};
+    // split the chrom-name table
+    std::vector<const uint8_t*> nm;
+    std::vector<size_t> nm_len;
+    {
+        int64_t s = 0;
+        for (int64_t i = 0; i <= names_len; i++) {
+            if (i == names_len || names[i] == '\n') {
+                nm.push_back(names + s);
+                nm_len.push_back(i - s);
+                s = i + 1;
+            }
+        }
+    }
+    char* p = buf;
+    char* end = buf + buf_len;
+    int64_t q = 0;
+    for (int64_t b = 0; b < B; b++) {
+        int64_t q0 = q;
+        while (q < qnames_len && qnames[q] != '\n') q++;
+        int32_t cnt = cig_cnt[b];
+        if (end - p < (q - q0) + 2 * (int64_t)L + 12 * (cnt + 8) + 64)
+            return -1;
+        std::memcpy(p, qnames + q0, q - q0);
+        p += q - q0;
+        q++;  // skip '\n'
+        *p++ = '\t';
+        p = put_i64(p, flags[b]); *p++ = '\t';
+        if (rsel[b] < 0) {
+            *p++ = '*';
+        } else {
+            std::memcpy(p, nm[rsel[b]], nm_len[rsel[b]]);
+            p += nm_len[rsel[b]];
+        }
+        *p++ = '\t';
+        p = put_i64(p, poss[b]); *p++ = '\t';
+        p = put_i64(p, mapqs[b]); *p++ = '\t';
+        if (cnt == 0) {
+            *p++ = '*';
+        } else {
+            for (int32_t k = 0; k < cnt; k++) {
+                p = put_i64(p, run_lens[cig_off[b] + k]);
+                *p++ = (char)run_ops[cig_off[b] + k];
+            }
+        }
+        *p++ = '\t'; *p++ = '*'; *p++ = '\t'; *p++ = '0'; *p++ = '\t';
+        *p++ = '0'; *p++ = '\t';
+        const int8_t* sq = seqs + b * (int64_t)L;
+        for (int32_t i = 0; i < lens[b]; i++)
+            *p++ = BASE_CHR[sq[i] & 15];
+        *p++ = '\t';
+        const uint8_t* ql = quals + b * (int64_t)L;
+        for (int32_t i = 0; i < lens[b]; i++)
+            *p++ = (char)(ql[i] + 33);
+        if (has_as[b]) {
+            std::memcpy(p, "\tAS:i:", 6); p += 6;
+            p = put_i64(p, scores[b]);
+        }
+        *p++ = '\n';
+    }
+    return p - buf;
+}
+
 }  // extern "C"

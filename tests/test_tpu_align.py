@@ -129,3 +129,22 @@ def test_repetitive_sequence_truncation_still_maps():
     for r, s in zip(reads, sams):
         assert s.flag & 4 == 0
         assert s.pos == int(r.name[1:]) + 1
+
+
+def test_finish_batch_lines_matches_objects(setup):
+    # native bulk SAM formatting must be byte-identical to the object path
+    genome, al, rng = setup
+    reads = []
+    for i, s in enumerate((100, 5_000, 12_345, 7_777)):
+        reads.append(_read(genome, s, rc=bool(i % 2), mut=(5, 40)))
+    # an indel read and an unmappable read
+    seq = np.concatenate([genome[3000:3050], genome[3053:3083]]).astype(np.int8)
+    reads.append(Fastq("indel", seq, np.full(80, 30, np.uint8)))
+    reads.append(Fastq("junk", rng.integers(0, 4, 80).astype(np.int8),
+                       np.full(80, 30, np.uint8)))
+    h = al.align_batch_async(reads)
+    import copy
+    text = al.finish_batch_lines(h)
+    h2 = al.align_batch_async(reads)
+    want = "".join(s.to_string() + "\n" for s in al.finish_batch(h2))
+    assert text == want
