@@ -307,7 +307,9 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
     non-empty (testVariant.go:166-285). Only those sites materialize
     Pile objects and run the exact per-site caller, so output is
     byte-identical to the site-by-site loop."""
-    from ..pileup import pile_from_dense, pileup_dense
+    from .. import native
+    from ..pileup import (pile_from_dense, pileup_dense,
+                          pileup_dense_from_sam_path)
 
     out = fileio.easy_create(out_file)
     vcfio.new_write_header(
@@ -318,11 +320,20 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
     headers = []
     dense = []
     for fn in experimental_files + normal_files:
-        header, reads = samio.read(fn)
-        if not header.text:
-            raise SystemExit("ERROR: sam/bam files must have headers")
-        headers.append(header)
-        dense.append(pileup_dense(reads, header, read_filters, mesh=mesh))
+        if native.available() and not samio._is_bam(fn):
+            header = samio.read_header_text(fn)
+            if not header.text:
+                raise SystemExit("ERROR: sam/bam files must have headers")
+            headers.append(header)
+            dense.append(pileup_dense_from_sam_path(fn, header, min_mapq,
+                                                    mesh=mesh))
+        else:
+            header, reads = samio.read(fn)
+            if not header.text:
+                raise SystemExit("ERROR: sam/bam files must have headers")
+            headers.append(header)
+            dense.append(pileup_dense(reads, header, read_filters,
+                                      mesh=mesh))
 
     ref_chroms = headers[0].chroms
     for h in headers[1:]:

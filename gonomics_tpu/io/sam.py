@@ -464,3 +464,15 @@ def add_tag(s: Sam, tag_id: str, typ: str, val: str) -> None:
         s.extra = f"{tag_id}:{typ}:{val}"
     else:
         s.extra = f"{s.extra}\t{tag_id}:{typ}:{val}"
+
+
+def read_header_text(filename: str) -> Header:
+    """Parse only the @ header lines of a SAM text file (the native
+    pileup fast path tokenizes the alignment lines in C)."""
+    lines = []
+    with fileio.easy_open(filename) as f:
+        for ln in f:
+            if not ln.startswith("@"):
+                break
+            lines.append(ln.rstrip("\n"))
+    return parse_header_text(lines)

@@ -53,6 +53,17 @@ def _load():
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64]
+            lib.sam_scatter.restype = ctypes.c_int
+            lib.sam_scatter.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p]
             lib.format_sam_lines.restype = ctypes.c_int64
             lib.format_sam_lines.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,      # qnames
@@ -186,3 +197,44 @@ def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
     if wrote < 0:
         return None
     return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def sam_scatter(text: bytes, chrom_names: list[str], min_mapq: int):
+    """Tokenize SAM text into pileup scatter runs + indel events in one
+    C pass (the GoPileup per-read walk, sam/pileup.go:221-311). Returns
+    (starts, lens, fwds, refidxs, bases, del_ev (n,4), ins_ev (n,5),
+    ins_str bytes) or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    nm = "\n".join(chrom_names).encode()
+    n = len(text)
+    run_cap = max(1024, n // 8)
+    base_cap = max(4096, n)
+    del_cap = ins_cap = max(1024, n // 64)
+    starts = np.empty(run_cap, np.int32)
+    lens = np.empty(run_cap, np.int32)
+    fwds = np.empty(run_cap, np.uint8)
+    ridx = np.empty(run_cap, np.int32)
+    bases = np.empty(base_cap, np.int8)
+    del_ev = np.empty(del_cap * 4, np.int32)
+    ins_ev = np.empty(ins_cap * 5, np.int32)
+    ins_str = np.empty(base_cap, np.uint8)
+    counts = np.zeros(5, np.int64)
+    vp = ctypes.c_void_p
+    rc = lib.sam_scatter(
+        text, n, nm, len(nm), min_mapq,
+        starts.ctypes.data_as(vp), lens.ctypes.data_as(vp),
+        fwds.ctypes.data_as(vp), ridx.ctypes.data_as(vp), run_cap,
+        bases.ctypes.data_as(vp), base_cap,
+        del_ev.ctypes.data_as(vp), del_cap,
+        ins_ev.ctypes.data_as(vp), ins_cap,
+        ins_str.ctypes.data_as(vp), base_cap,
+        counts.ctypes.data_as(vp))
+    if rc != 0:
+        return None
+    n_runs, n_bases, n_del, n_ins, ins_len = (int(x) for x in counts)
+    return (starts[:n_runs], lens[:n_runs], fwds[:n_runs], ridx[:n_runs],
+            bases[:n_bases], del_ev[:n_del * 4].reshape(-1, 4),
+            ins_ev[:n_ins * 5].reshape(-1, 5),
+            ins_str[:ins_len].tobytes())

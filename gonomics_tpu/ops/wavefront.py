@@ -984,13 +984,15 @@ def _affine_stream_kernel(brC_hbm, q0_hbm, q1_hbm, res_ref,
 
     @pl.when(d_ph0 == fin)
     def _cap0():
-        res_ref[pl.ds(p_ph0, 1)] = _max3(m_new, i_new, d_new)[
-            None, :, col0:col0 + 128]
+        cap = jax.lax.slice_in_dim(_max3(m_new, i_new, d_new), col0,
+                                   col0 + 128, axis=1)
+        res_ref[pl.ds(p_ph0, 1)] = cap.reshape(1, B, 128)
 
     @pl.when(d_ph1 == fin)
     def _cap1():
-        res_ref[pl.ds(p_ph1, 1)] = _max3(m_new, i_new, d_new)[
-            None, :, col0:col0 + 128]
+        cap = jax.lax.slice_in_dim(_max3(m_new, i_new, d_new), col0,
+                                   col0 + 128, axis=1)
+        res_ref[pl.ds(p_ph1, 1)] = cap.reshape(1, B, 128)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -279,3 +279,83 @@ def sum_piles(piles: list[Pile]) -> Pile:
         for k, v in p.del_count_r.items():
             ans.del_count_r[k] = ans.del_count_r.get(k, 0) + v
     return ans
+
+
+def pileup_dense_from_sam_path(path: str, header: Header, min_mapq: int,
+                               mesh=None) -> dict[int, "_ChromCounts"]:
+    """pileup_dense straight from a SAM text file through the native
+    tokenizer (native/seqio.cpp sam_scatter): one C pass builds the
+    scatter runs + indel events, skipping Sam-object materialization.
+    Falls back to the python path for BAM/gzip inputs or a missing
+    native lib. Read filter semantics: mapq >= min_mapq + unmapped skip
+    (exactly callVariants' filters)."""
+    from . import fileio, native
+    from .io import sam as samio
+
+    if header.sort_order[0] != "coordinate":
+        raise ValueError("input sam/bam must be coordinate sorted")
+    text = None
+    if native.available():
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if head != fileio.GZIP_MAGIC:
+            with open(path, "rb") as f:
+                text = f.read()
+    if text is not None:
+        res = native.sam_scatter(text, [c.name for c in header.chroms],
+                                 min_mapq)
+        if res is not None:
+            return _dense_from_runs(header, *res, mesh=mesh)
+    _, reads = samio.read(path)
+    return pileup_dense(reads, header,
+                        [lambda s: s.mapq >= min_mapq], mesh=mesh)
+
+
+def _dense_from_runs(header: Header, starts, lens, fwds, ridx, bases,
+                     del_ev, ins_ev, ins_str: bytes,
+                     mesh=None) -> dict[int, "_ChromCounts"]:
+    chrom_data: dict[int, _ChromCounts] = {}
+
+    def cd_for(refidx: int) -> _ChromCounts:
+        if refidx not in chrom_data:
+            chrom_data[refidx] = _ChromCounts(header.chroms[refidx].size)
+        return chrom_data[refidx]
+
+    for refidx, pos, dlen, fwd in del_ev.tolist():
+        d = cd_for(refidx)._del_maps(pos)[fwd]
+        d[dlen] = d.get(dlen, 0) + 1
+    for refidx, pos, fwd, off, slen in ins_ev.tolist():
+        key = ins_str[off:off + slen].decode()
+        m = cd_for(refidx)._ins_maps(pos)[fwd]
+        m[key] = m.get(key, 0) + 1
+
+    if len(starts):
+        lens64 = lens.astype(np.int64)
+        total = int(lens64.sum())
+        csum = np.concatenate(([0], np.cumsum(lens64)[:-1]))
+        intra = np.arange(total) - np.repeat(csum, lens64)
+        pos = np.repeat(starts.astype(np.int64), lens64) + intra
+        base = bases.astype(np.int64)
+        strand = np.repeat(fwds.astype(np.int64), lens64)
+        rr = np.repeat(ridx.astype(np.int64), lens64)
+        for refidx in np.unique(rr):
+            cd = cd_for(int(refidx))
+            m = rr == refidx
+            pm = pos[m]
+            ins_pos = list(cd.ins.keys())
+            lo = int(min(pm.min(), min(ins_pos, default=pm.min())))
+            hi = int(max(pm.max(), max(ins_pos, default=pm.max())))
+            cd.lo = lo
+            span = hi - lo + 1
+            if mesh is not None:
+                cd.counts = _device_counts(mesh, pm - lo, base[m],
+                                           strand[m], span)
+            else:
+                cd.counts = np.zeros((span, 13, 2), np.int32)
+                np.add.at(cd.counts, (pm - lo, base[m], strand[m]), 1)
+
+    for cd in chrom_data.values():
+        if cd.counts is None:
+            cd.counts = np.zeros((1, 13, 2), np.int32)
+            cd.lo = min(cd.ins.keys(), default=1)
+    return chrom_data

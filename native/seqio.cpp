@@ -288,4 +288,180 @@ int64_t format_sam_lines(const uint8_t* qnames, int64_t qnames_len,
     return p - buf;
 }
 
+// SAM-text -> pileup scatter runs: tokenizes alignment lines and walks
+// cigars into flat (start, len, fwd, refidx) runs with base codes (GAP
+// for deletions), plus sparse del/ins event lists — the C++ host-layer
+// form of sam.GoPileup's per-read walk (sam/pileup.go:221-311) feeding
+// the dense count scatter. Semantics replicate gonomics_tpu.pileup
+// exactly: terminal-insertion soft-clip rewriting, mapq filter, unmapped
+// skip, strand = fwd unless (paired && !first-of-pair).
+// Returns 0, or -1 on malformed input / capacity overflow.
+int sam_scatter(const uint8_t* text, int64_t n,
+                const uint8_t* names, int64_t names_len, int32_t min_mapq,
+                int32_t* run_start, int32_t* run_len, uint8_t* run_fwd,
+                int32_t* run_refidx, int64_t run_cap,
+                int8_t* bases, int64_t base_cap,
+                int32_t* del_ev, int64_t del_cap,
+                int32_t* ins_ev, int64_t ins_cap,
+                uint8_t* ins_str, int64_t ins_str_cap,
+                int64_t* counts_out) {
+    static int8_t lut[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++) lut[i] = 4;
+        lut['A'] = 0; lut['C'] = 1; lut['G'] = 2; lut['T'] = 3;
+        lut['a'] = 0; lut['c'] = 1; lut['g'] = 2; lut['t'] = 3;
+        lut['-'] = 10; lut['.'] = 11; lut['*'] = 12;
+        init = true;
+    }
+    // chrom name table
+    std::vector<const uint8_t*> nm;
+    std::vector<size_t> nm_len;
+    {
+        int64_t s = 0;
+        for (int64_t i = 0; i <= names_len; i++) {
+            if (i == names_len || names[i] == '\n') {
+                nm.push_back(names + s);
+                nm_len.push_back(i - s);
+                s = i + 1;
+            }
+        }
+    }
+    int64_t n_runs = 0, n_bases = 0, n_del = 0, n_ins = 0, ins_off = 0;
+    int64_t pos_i = 0;
+    struct Op { int32_t len; char op; };
+    std::vector<Op> cig;
+    while (pos_i < n) {
+        int64_t line_end = pos_i;
+        while (line_end < n && text[line_end] != '\n') line_end++;
+        if (text[pos_i] == '@') { pos_i = line_end + 1; continue; }
+        // field boundaries
+        const uint8_t* f[12];
+        size_t flen[12];
+        int nf = 0;
+        int64_t fs = pos_i;
+        for (int64_t i = pos_i; i <= line_end && nf < 12; i++) {
+            if (i == line_end || text[i] == '\t') {
+                f[nf] = text + fs;
+                flen[nf] = i - fs;
+                nf++;
+                fs = i + 1;
+            }
+        }
+        pos_i = line_end + 1;
+        if (nf < 11) return -1;
+        auto to_int = [](const uint8_t* p, size_t l) {
+            int64_t v = 0;
+            for (size_t i = 0; i < l; i++) v = v * 10 + (p[i] - '0');
+            return v;
+        };
+        int32_t flag = (int32_t)to_int(f[1], flen[1]);
+        int32_t mapq = (int32_t)to_int(f[4], flen[4]);
+        // unmapped cigar check first (matches python path order)
+        if (flen[5] == 1 && f[5][0] == '*') continue;
+        if (mapq < min_mapq) continue;
+        // parse cigar
+        cig.clear();
+        {
+            int32_t v = 0;
+            for (size_t i = 0; i < flen[5]; i++) {
+                uint8_t c = f[5][i];
+                if (c >= '0' && c <= '9') v = v * 10 + (c - '0');
+                else { cig.push_back({v, (char)c}); v = 0; }
+            }
+        }
+        if (cig.empty()) continue;
+        // _sclip_terminal_ins
+        if (cig.front().op == 'I') cig.front().op = 'S';
+        if (cig.back().op == 'I') cig.back().op = 'S';
+        if (cig.size() >= 2 && cig[0].op == 'S' && cig[1].op == 'I') {
+            cig[1].op = 'S';
+            cig[1].len += cig[0].len;
+            cig.erase(cig.begin());
+        }
+        if (cig.size() >= 2 && cig[cig.size() - 1].op == 'S' &&
+            cig[cig.size() - 2].op == 'I') {
+            cig[cig.size() - 2].op = 'S';
+            cig[cig.size() - 2].len += cig.back().len;
+            cig.pop_back();
+        }
+        // refidx
+        int32_t refidx = -1;
+        for (size_t i = 0; i < nm.size(); i++) {
+            if (nm_len[i] == flen[2] &&
+                std::memcmp(nm[i], f[2], flen[2]) == 0) {
+                refidx = (int32_t)i;
+                break;
+            }
+        }
+        if (refidx < 0) return -1;
+        int32_t fwd = (!(flag & 1) || (flag & 64)) ? 0 : 1;
+        int32_t ref_pos = (int32_t)to_int(f[3], flen[3]);
+        int64_t seq_pos = 0;
+        const uint8_t* seq = f[9];
+        for (const Op& c : cig) {
+            if (c.op == 'M' || c.op == '=' || c.op == 'X') {
+                if (n_runs >= run_cap || n_bases + c.len > base_cap)
+                    return -1;
+                run_start[n_runs] = ref_pos;
+                run_len[n_runs] = c.len;
+                run_fwd[n_runs] = (uint8_t)fwd;
+                run_refidx[n_runs] = refidx;
+                n_runs++;
+                for (int32_t i = 0; i < c.len; i++)
+                    bases[n_bases + i] = lut[seq[seq_pos + i]];
+                n_bases += c.len;
+                ref_pos += c.len;
+                seq_pos += c.len;
+            } else if (c.op == 'D') {
+                if (n_runs >= run_cap || n_del >= del_cap ||
+                    n_bases + c.len > base_cap)
+                    return -1;
+                del_ev[n_del * 4] = refidx;
+                del_ev[n_del * 4 + 1] = ref_pos;
+                del_ev[n_del * 4 + 2] = c.len;
+                del_ev[n_del * 4 + 3] = fwd;
+                n_del++;
+                run_start[n_runs] = ref_pos;
+                run_len[n_runs] = c.len;
+                run_fwd[n_runs] = (uint8_t)fwd;
+                run_refidx[n_runs] = refidx;
+                n_runs++;
+                for (int32_t i = 0; i < c.len; i++)
+                    bases[n_bases + i] = 10;  // dna.GAP
+                n_bases += c.len;
+                ref_pos += c.len;
+            } else if (c.op == 'I') {
+                if (n_ins >= ins_cap || ins_off + c.len > ins_str_cap)
+                    return -1;
+                ins_ev[n_ins * 5] = refidx;
+                ins_ev[n_ins * 5 + 1] = ref_pos - 1;
+                ins_ev[n_ins * 5 + 2] = fwd;
+                ins_ev[n_ins * 5 + 3] = (int32_t)ins_off;
+                ins_ev[n_ins * 5 + 4] = c.len;
+                // normalized spelling (code -> char), matching the
+                // python path's dna.to_string(codes) keys
+                static const char BCH[13] = {'A', 'C', 'G', 'T', 'N', 'a',
+                                             'c', 'g', 't', 'n', '-', '.',
+                                             '*'};
+                for (int32_t i = 0; i < c.len; i++)
+                    ins_str[ins_off + i] = BCH[(int)lut[seq[seq_pos + i]]];
+                ins_off += c.len;
+                n_ins++;
+                seq_pos += c.len;
+            } else {
+                // N consumes ref; S consumes query; H/P neither
+                if (c.op == 'N') ref_pos += c.len;
+                if (c.op == 'S') seq_pos += c.len;
+            }
+        }
+    }
+    counts_out[0] = n_runs;
+    counts_out[1] = n_bases;
+    counts_out[2] = n_del;
+    counts_out[3] = n_ins;
+    counts_out[4] = ins_off;
+    return 0;
+}
+
 }  // extern "C"
