@@ -82,42 +82,39 @@ def chain_rate(fn, reinject, cells, k_short, k_long, reps=3):
 
 
 def stage_score_stream() -> dict:
-    """Score-mode GCUPS: the two-pairs-per-lane streamed kernel, with a
-    compiled-parity gate and the plain kernel as reference point."""
+    """Score-mode GCUPS: plain wavefront kernel (headline) plus the
+    experimental streamed kernel, both behind a compiled-parity gate."""
     return _stage(_PRELUDE + r"""
 from gonomics_tpu.align.matrices import HUMAN_CHIMP_TWO
 from gonomics_tpu.align import oracle
 from gonomics_tpu.ops.wavefront import wavefront_affine_stream, wavefront_align
 
-# compiled parity first (small shape)
+# compiled parity first (small shapes, both kernels)
 rng = np.random.default_rng(5)
-P, B, n = 4, 8, 96
-al = rng.integers(0, 4, (P, B, n)).astype(np.int8)
-be = rng.integers(0, 5, (P, B, n)).astype(np.int8)
-got = np.asarray(jax.device_get(wavefront_affine_stream(
-    jnp.asarray(al), jnp.asarray(be), HUMAN_CHIMP_TWO,
-    n=n, m=n, gap_open=-600, gap_extend=-150)))
-for p in range(P):
-    for b in range(B):
-        want, _ = oracle.affine_gap(al[p, b], be[p, b], HUMAN_CHIMP_TWO,
+B0, L0 = 8, 96
+a0 = rng.integers(0, 4, (B0, L0)).astype(np.int8)
+b0 = rng.integers(0, 5, (B0, L0)).astype(np.int8)
+fin0 = np.full((B0, 1), 2 * L0, np.int32)
+res0 = np.asarray(jax.device_get(wavefront_align(
+    jnp.asarray(a0), jnp.asarray(b0), jnp.asarray(fin0), HUMAN_CHIMP_TWO,
+    n=L0, m=L0, gap_open=-600, gap_extend=-150, with_trace=False,
+    mode="affine")))
+for b in range(B0):
+    want, _ = oracle.affine_gap(a0[b], b0[b], HUMAN_CHIMP_TWO, -600, -150)
+    assert res0[b, L0] == want, (b, int(res0[b, L0]), want)
+P0 = 4
+als = rng.integers(0, 4, (P0, B0, L0)).astype(np.int8)
+bes = rng.integers(0, 5, (P0, B0, L0)).astype(np.int8)
+gots = np.asarray(jax.device_get(wavefront_affine_stream(
+    jnp.asarray(als), jnp.asarray(bes), HUMAN_CHIMP_TWO,
+    n=L0, m=L0, gap_open=-600, gap_extend=-150)))
+for p in range(P0):
+    for b in range(B0):
+        want, _ = oracle.affine_gap(als[p, b], bes[p, b], HUMAN_CHIMP_TWO,
                                     -600, -150)
-        assert got[p, b] == want, (p, b, int(got[p, b]), want)
+        assert gots[p, b] == want, (p, b, int(gots[p, b]), want)
 
-P, B, L = 8, 256, 1024
-alpha = jnp.asarray(np.random.default_rng(0).integers(0, 4, (P, B, L)), jnp.int8)
-beta = jnp.asarray(np.random.default_rng(1).integers(0, 4, (P, B, L)), jnp.int8)
-
-def f(x):
-    a = alpha if x is None else jnp.bitwise_and(alpha + x[:, :, None].astype(jnp.int8), 3)
-    return wavefront_affine_stream(a, beta, HUMAN_CHIMP_TWO, n=L, m=L,
-                                   gap_open=-600, gap_extend=-150)
-
-rate, dt = chain_rate(f, lambda r: r, P * B * L * L, 2, 8)
-out = {"score_gcups": round(rate / 1e9, 2),
-       "score_config": "stream P=8 x B=256 pairs, 1024x1024, humanChimpTwo",
-       "score_parity": "compiled == oracle (P=4,B=8,L=96)"}
-
-# plain (non-streamed) kernel for reference
+B, L = 256, 1024
 a1 = jnp.asarray(np.random.default_rng(2).integers(0, 4, (B, L)), jnp.int8)
 b1 = jnp.asarray(np.random.default_rng(3).integers(0, 4, (B, L)), jnp.int8)
 fin = jnp.full((B, 1), 2 * L, jnp.int32)
@@ -128,8 +125,23 @@ def g(x):
                            gap_open=-600, gap_extend=-150,
                            with_trace=False, mode="affine")
 
-rate2, _ = chain_rate(g, lambda r: r, B * L * L, 2, 16)
-out["score_gcups_plain"] = round(rate2 / 1e9, 2)
+rate, dt = chain_rate(g, lambda r: r, B * L * L, 2, 16)
+out = {"score_gcups": round(rate / 1e9, 2),
+       "score_config": "B=256 pairs, 1024x1024, humanChimpTwo, score-only",
+       "score_parity": "compiled == oracle (plain B=8 + stream P=4xB=8)"}
+
+# experimental streamed kernel (PERF_NOTES round-3 negative result)
+P = 8
+alpha = jnp.asarray(np.random.default_rng(0).integers(0, 4, (P, B, L)), jnp.int8)
+beta = jnp.asarray(np.random.default_rng(1).integers(0, 4, (P, B, L)), jnp.int8)
+
+def f(x):
+    a = alpha if x is None else jnp.bitwise_and(alpha + x[:, :, None].astype(jnp.int8), 3)
+    return wavefront_affine_stream(a, beta, HUMAN_CHIMP_TWO, n=L, m=L,
+                                   gap_open=-600, gap_extend=-150)
+
+rate2, _ = chain_rate(f, lambda r: r, P * B * L * L, 2, 6)
+out["score_gcups_stream_experimental"] = round(rate2 / 1e9, 2)
 print(json.dumps(out))
 """, timeout=1200)
 
@@ -529,7 +541,7 @@ def main() -> None:
         "unit": "GCUPS",
         "vs_baseline": None,
         "baseline": "single-thread C++ Gotoh (Go-reference class), this host",
-        "config": "stream P=8 x B=256 pairs, 1024x1024, score-only",
+        "config": "B=256 pairs, 1024x1024, humanChimpTwo, score-only",
     }
     base = None
     try:

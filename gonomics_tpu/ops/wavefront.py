@@ -866,7 +866,8 @@ def affine_gap_lowmem(alpha, beta, scores, gap_open: int, gap_extend: int,
 def _affine_stream_kernel(brC_hbm, q0_hbm, q1_hbm, res_ref,
                           brv, qv, mbuf, ibuf, dbuf, sem_b, sem_q, *,
                           n_pad: int, m_pad: int, fin: int, go: int, ge: int,
-                          g: int, s_size: int, P: int):
+                          g: int, s_size: int, P: int, magic_m: int,
+                          magic_k: int):
     """Two-pairs-per-lane streamed affine wavefront (score mode).
 
     P pairs flow through one (B, S) lane set with a stagger of g = m_pad+1
@@ -890,19 +891,27 @@ def _affine_stream_kernel(brC_hbm, q0_hbm, q1_hbm, res_ref,
     kernel HBM-bound (~12MB/step); the manual copies amortize to ~0.2%.
 
     Requires g even (m_pad odd) so both active diagonals share parity, and
-    m_pad >= n (pad beta up; junk columns never feed real cells)."""
+    m_pad >= n (pad beta up; junk columns never feed real cells).
+
+    The step coordinates (p_hi, dy) come from the flat grid index via an
+    EXACT magic-multiply division (mul + shift): a real non-power-of-two
+    divide measured ~10us/step of scalar-pipeline stall, an SMEM-carried
+    counter serializes the scalar prologue across steps and stalls
+    identically, and a 2D grid costs ~13us/step of outer-loop overhead —
+    the whole kernel is ~3.5us/step without them. The magic constant is
+    chosen per (g, T) and asserted exact by the driver."""
     t = pl.program_id(0)
+    p_hi = (t * magic_m) >> magic_k  # == t // g for t < T (exact)
+    dy = t - p_hi * g + 1
     _, _, B, S = q0_hbm.shape
     Pp = q0_hbm.shape[0]
     go_ = jnp.int32(go)
     ge_ = jnp.int32(ge)
-    p_hi = t // g
-    dy = t - p_hi * g + 1
     do = dy + g
-    phase_y = jax.lax.rem(p_hi, 2)
+    phase_y = jax.lax.rem(p_hi, 2)  # power-of-2 rem lowers to an AND
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), dimension=1)
 
-    @pl.when(jax.lax.rem(t, g) == 0)
+    @pl.when(dy == 1)
     def _load_pair_blocks():
         pc = jnp.clip(p_hi, 0, P)
         cp = pltpu.make_async_copy(brC_hbm.at[pc], brv, sem_b)
@@ -923,13 +932,13 @@ def _affine_stream_kernel(brC_hbm, q0_hbm, q1_hbm, res_ref,
 
         cp.wait()
 
-    @pl.when(t == 0)
+    @pl.when((p_hi == 0) & (dy == 1))
     def _load_other_phase():
         cq = pltpu.make_async_copy(q1_hbm.at[0], qv.at[1], sem_q)
         cq.start()
         cq.wait()
 
-    cur = jax.lax.rem(t + 1, 2)  # == dy % 2 == do % 2 (g even)
+    cur = jax.lax.rem(dy, 2)  # == do % 2 (g even); power-of-2 rem
     prv = 1 - cur
     m1, i1, d1 = mbuf[prv], ibuf[prv], dbuf[prv]   # diagonal d-1
     m2, i2, d2 = mbuf[cur], ibuf[cur], dbuf[cur]   # diagonal d-2
@@ -946,11 +955,11 @@ def _affine_stream_kernel(brC_hbm, q0_hbm, q1_hbm, res_ref,
     hi = jnp.where(be == 2, qc2, jnp.where(be == 3, qc3, qc4))
     sc = jnp.where(be < 2, lo, hi)
 
-    m2s, i2s, d2s = _shift(m2), _shift(i2), _shift(d2)
-    m_new = sc + _max3(m2s, i2s, d2s)
+    # fused score-mode recurrences (shift distributes over max): the
+    # unfused 6-shift trace-style form measured 1.8x slower per step
+    m_new = sc + _shift(_max3(m2, i2, d2))
     i_new = _max3(go_ + ge_ + m1, ge_ + i1, go_ + ge_ + d1)
-    m1s, i1s, d1s = _shift(m1), _shift(i1), _shift(d1)
-    d_new = _max3(go_ + ge_ + m1s, go_ + ge_ + i1s, ge_ + d1s)
+    d_new = _shift(jnp.maximum(go_ + ge_ + jnp.maximum(m1, i1), ge_ + d1))
 
     # lanes [1, n] minus the young col0 lane are interior for whichever
     # pair owns them; the old pair (do > m_pad) never has boundary cells
@@ -1040,10 +1049,21 @@ def wavefront_affine_stream(alpha, beta, scores, *, n: int, m: int,
     q_ph0, q_ph1 = qstack[0::2], qstack[1::2]
 
     T = (P - 1) * g + n + m_pad
+    # exact magic division t//g as (t*M)>>K: M = ceil(2^K/g) is exact
+    # for t < 2^K // (M*g - 2^K); pick the smallest adequate K
+    for magic_k in range(17, 31):
+        magic_m = -((-(1 << magic_k)) // g)  # ceil
+        err = magic_m * g - (1 << magic_k)
+        if err == 0 or (1 << magic_k) // err > T:
+            if T * magic_m < 2 ** 31:
+                break
+    else:
+        raise ValueError(f"no exact magic divider for g={g}, T={T}")
 
     kern = functools.partial(_affine_stream_kernel, n_pad=n, m_pad=m_pad,
                              fin=fin, go=gap_open, ge=gap_extend, g=g,
-                             s_size=S, P=P)
+                             s_size=S, P=P, magic_m=magic_m,
+                             magic_k=magic_k)
     res = pl.pallas_call(
         kern,
         grid=(T,),
