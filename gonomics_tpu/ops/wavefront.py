@@ -723,6 +723,56 @@ def _walk_block(trace, d0, soff, i, j, k, *, K: int, W: int):
     return i, j, k, ops
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "K", "W", "Wsl", "S8", "n", "m", "gap_open", "gap_extend", "interpret"))
+def _lowmem_backward(i0v, j0v, k0v, d0s, ck_m, ck_i, ck_d, profiles, brp,
+                     *, K: int, W: int, Wsl: int, S8: int, n: int, m: int,
+                     gap_open: int, gap_extend: int, interpret: bool):
+    """One-dispatch backward pass of the lowmem aligner: lax.scan over
+    checkpoint blocks (reverse order), each iteration re-filling one
+    windowed checkerboard (bwd Pallas kernel) and walking its trace."""
+    B = i0v.shape[0]
+    bwd = _affine_bwd_window_call(B, W, n=n, m=m, gap_open=gap_open,
+                                  gap_extend=gap_extend, s_size=S8, K=K,
+                                  interpret=interpret)
+
+    def _window_state(state, wlo):
+        flat = state.reshape(2, B, S8)
+
+        def sl(f, w):
+            return jax.lax.dynamic_slice(f, (0, w), (2, W))
+
+        return jax.vmap(sl, in_axes=(1, 0), out_axes=1)(flat, wlo)
+
+    def blk_step(carry, xs):
+        i_cur, j_cur, k_cur = carry
+        d0, sm_b, si_b, sd_b = xs
+        wlo = jnp.clip(((i_cur - 2 * K - 128) // 128) * 128, 0,
+                       S8 - W).astype(jnp.int32)
+
+        def slq(q, w):
+            return jax.lax.dynamic_slice(q, (w,), (W,))
+
+        qs = [jax.vmap(slq)(q, wlo) for q in profiles]
+        y0 = m + S8 + wlo - d0  # == (true y0) + K into the padded brp
+
+        def slb(b, y):
+            return jax.lax.dynamic_slice(b, (y,), (Wsl,))
+
+        br_sl = jax.vmap(slb)(brp, y0)
+        trace = bwd(jnp.full((1, 1), d0, jnp.int32), wlo[:, None],
+                    br_sl, *qs,
+                    _window_state(sm_b, wlo), _window_state(si_b, wlo),
+                    _window_state(sd_b, wlo))
+        iv, jv, kv, ops = _walk_block(trace, d0, wlo, i_cur, j_cur,
+                                      k_cur, K=K, W=W)
+        return (iv, jv, kv), ops
+
+    (iv, jv, kv), ops = jax.lax.scan(
+        blk_step, (i0v, j0v, k0v), (d0s, ck_m, ck_i, ck_d))
+    return iv, jv, kv, ops  # ops: (NB, K, B)
+
+
 def affine_gap_lowmem_batch(alphas, betas, scores, gap_open: int,
                             gap_extend: int, *, checkersize: int = 2048,
                             interpret: bool = False):
@@ -795,56 +845,24 @@ def affine_gap_lowmem_batch(alphas, betas, scores, gap_open: int,
                    onp.where(fi >= fd, 1, 2)).astype(onp.int32)
     score = onp.choose(k0, [fm, fi, fd])
 
-    @jax.jit
-    def _window_state(state, wlo):
-        flat = state.reshape(2, B, S8)
-
-        def sl(f, w):
-            return jax.lax.dynamic_slice(f, (0, w), (2, W))
-
-        return jax.vmap(sl, in_axes=(1, 0), out_axes=1)(flat, wlo)
-
-    # left-pad beta codes by K so the pre-slice start y0+K is always
-    # >= 0 (y0 itself can dip negative in a block's junk tail steps)
+    # backward: re-fill one block at a time, walk its windowed trace.
+    # The WHOLE block loop is one jitted lax.scan — a host-synced python
+    # loop paid a tunnel round-trip per block and was dispatch-bound
+    # (~250x the device time at 16 blocks)
     brp = jnp.pad(br, ((0, 0), (K, 0)), constant_values=4)
+    d0s = jnp.arange(fb, -1, -1, dtype=jnp.int32) * K
+    ck_m = jnp.stack([ckpts[blk][0] for blk in range(fb, -1, -1)])
+    ck_i = jnp.stack([ckpts[blk][1] for blk in range(fb, -1, -1)])
+    ck_d = jnp.stack([ckpts[blk][2] for blk in range(fb, -1, -1)])
 
-    @jax.jit
-    def _window_inputs(wlo, d0):
-        def slq(q, w):
-            return jax.lax.dynamic_slice(q, (w,), (W,))
-
-        qs = [jax.vmap(slq)(q, wlo) for q in profiles]
-        y0 = m + S8 + wlo - d0  # == (true y0) + K into the padded array
-
-        def slb(b, y):
-            return jax.lax.dynamic_slice(b, (y,), (Wsl,))
-
-        return qs, jax.vmap(slb)(brp, y0)
-
-    # backward: re-fill one block at a time, walk its windowed trace
-    i_cur = onp.full(B, n, onp.int32)
-    j_cur = onp.full(B, m, onp.int32)
-    k_cur = k0.copy()
-    ops_parts = []
-    for blk in range(fb, -1, -1):
-        wlo = onp.clip(((i_cur - 2 * K - 128) // 128) * 128, 0, S8 - W)
-        wlo_j = jnp.asarray(wlo, jnp.int32)
-        sm_b, si_b, sd_b = ckpts[blk]
-        qs, br_sl = _window_inputs(wlo_j, blk * K)
-        trace = bwd(scalar(blk * K), wlo_j[:, None], br_sl, *qs,
-                    _window_state(sm_b, wlo_j), _window_state(si_b, wlo_j),
-                    _window_state(sd_b, wlo_j))
-        iv, jv, kv, ops = _walk_block(
-            trace, jnp.asarray(blk * K), wlo_j,
-            jnp.asarray(i_cur), jnp.asarray(j_cur),
-            jnp.asarray(k_cur), K=K, W=W)
-        i_cur = onp.asarray(iv)
-        j_cur = onp.asarray(jv)
-        k_cur = onp.asarray(kv)
-        ops_parts.append(onp.asarray(ops))  # (K, B)
-
-    ops_all = onp.concatenate(ops_parts, axis=0) if ops_parts else \
-        onp.zeros((0, B), onp.int8)
+    iv, jv, kv, ops = _lowmem_backward(
+        jnp.full(B, n, jnp.int32), jnp.full(B, m, jnp.int32),
+        jnp.asarray(k0, jnp.int32), d0s, ck_m, ck_i, ck_d,
+        tuple(profiles), brp, K=K, W=W, Wsl=Wsl, S8=S8, n=n, m=m,
+        gap_open=gap_open, gap_extend=gap_extend, interpret=interpret)
+    i_cur = onp.asarray(iv)
+    j_cur = onp.asarray(jv)
+    ops_all = onp.asarray(ops).reshape(-1, B)
     out = []
     for b in range(B):
         ob = ops_all[:, b]
