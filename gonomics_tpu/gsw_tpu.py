@@ -110,13 +110,14 @@ class TpuGswAligner:
         active = [i for i in range(len(reads))]
         pos = [0] * len(reads)  # next seed index per read
 
+        wave = self.wave
         while active:
             rec = _Recorder()
             spans: dict[tuple[int, int], tuple[int, int, int, int]] = {}
             for ri in active:
                 st = states[ri]
                 for si in range(pos[ri],
-                                min(pos[ri] + self.wave, len(st.seeds))):
+                                min(pos[ri] + wave, len(st.seeds))):
                     spans[(ri, si)] = self._record_seed(
                         reads[ri], st.seeds[si], st.extension, rec)
             left_res = self.dp.run_left(rec.left_jobs)
@@ -125,7 +126,7 @@ class TpuGswAligner:
             still = []
             for ri in active:
                 st = states[ri]
-                hi = min(pos[ri] + self.wave, len(st.seeds))
+                hi = min(pos[ri] + wave, len(st.seeds))
                 for si in range(pos[ri], hi):
                     if st.done:
                         break  # later seeds' results are discarded
@@ -141,6 +142,9 @@ class TpuGswAligner:
                 if not st.done and pos[ri] < len(st.seeds):
                     still.append(ri)
             active = still
+            # the long tail (few reads, many seeds) would otherwise pay a
+            # device round-trip per tiny wave — grow geometrically
+            wave = min(wave * 2, 256)
 
         return [al.align_finish(st) for st in states]
 

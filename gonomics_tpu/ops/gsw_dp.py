@@ -97,6 +97,44 @@ def _routes_walk_order(ops: np.ndarray) -> list[list[CigarOp]]:
     return routes
 
 
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret"))
+def _left_full(al, be, nv, mv, scores, *, n, m, gap, interpret):
+    """LeftDynamicAln DP + corner score + walk, all in ONE dispatch
+    (host-side finishing paid a tunnel round-trip per device fetch)."""
+    S = _round_up(n + 1, 128)
+    bv, bd, trace, corner = wavefront_local(
+        al, be, nv, mv, scores, n=n, m=m, gap=gap,
+        with_trace=True, with_corner=True, interpret=interpret)
+    la = nv[:, 0]
+    lb = mv[:, 0]
+    score = jnp.take_along_axis(corner, jnp.clip(la, 0, S - 1)[:, None],
+                                axis=1)[:, 0]
+    i0, j0, ops = _walk_left(trace, la, lb, score > 0, D=n + m, S=S)
+    return score, i0, j0, ops
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret"))
+def _right_full(al, be, nv, mv, scores, *, n, m, gap, interpret):
+    """RightDynamicAln DP + row-major-first best cell + walk to origin,
+    one dispatch. Best-cell rule: per-lane strict > kept the smallest
+    diagonal; argmax over lanes keeps the smallest i; all-nonpositive
+    keeps (0, 0) (search.go currMax=0)."""
+    S = _round_up(n + 1, 128)
+    bv, bd, trace = wavefront_gsw_right(al, be, nv, mv, scores,
+                                        n=n, m=m, gap=gap,
+                                        interpret=interpret)
+    max_i = jnp.argmax(bv, axis=1).astype(jnp.int32)
+    max_v = jnp.take_along_axis(bv, max_i[:, None], axis=1)[:, 0]
+    max_j = (jnp.take_along_axis(bd, max_i[:, None], axis=1)[:, 0]
+             - max_i).astype(jnp.int32)
+    none = max_v <= 0
+    max_i = jnp.where(none, 0, max_i)
+    max_j = jnp.where(none, 0, max_j)
+    score = jnp.where(none, 0, max_v)
+    ops = _walk_right(trace, max_i, max_j, D=n + m, S=S)
+    return score, max_i, max_j, ops
+
+
 def _pad_jobs(jobs, n: int, m: int):
     """jobs: list of (alpha, beta) int8 arrays -> padded batch tensors."""
     B = len(jobs)
@@ -130,54 +168,49 @@ class GswDpBatch:
     def _bucket(x: int) -> int:
         return max(64, _round_up(x, 64))
 
+    @staticmethod
+    def _bucket_count(x: int) -> int:
+        b = 16
+        while b < x:
+            b *= 2
+        return b
+
+    def _padded(self, jobs):
+        """Pad the job list to a power-of-two count so wave-to-wave shape
+        churn doesn't recompile the kernel (30s+ per compile through the
+        remote tunnel dominated graph-alignment throughput)."""
+        BJ = len(jobs)
+        empty = (np.zeros(0, np.int8), np.zeros(0, np.int8))
+        return list(jobs) + [empty] * (self._bucket_count(BJ) - BJ), BJ
+
     def run_left(self, jobs) -> list[tuple[int, list[CigarOp], int, int]]:
         if not jobs:
             return []
         n = self._bucket(max(len(a) for a, _ in jobs))
         m = self._bucket(max(len(b) for _, b in jobs))
+        jobs, BJ = self._padded(jobs)
         al, be, nv, mv = _pad_jobs(jobs, n, m)
-        B = al.shape[0]
-        S = _round_up(n + 1, 128)
-        bv, bd, trace, corner = wavefront_local(
+        score, i0, j0, ops = jax.device_get(_left_full(
             jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
             jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
-            with_trace=True, with_corner=True, interpret=self.interpret)
-        la = nv[:, 0].astype(np.int32)
-        lb = mv[:, 0].astype(np.int32)
-        score = np.asarray(jax.device_get(corner))[
-            np.arange(B), np.clip(la, 0, S - 1)]
-        i0, j0, ops = _walk_left(trace, jnp.asarray(la), jnp.asarray(lb),
-                                 jnp.asarray(score > 0), D=n + m, S=S)
-        i0 = np.asarray(jax.device_get(i0))
-        j0 = np.asarray(jax.device_get(j0))
-        routes = _routes_walk_order(np.asarray(jax.device_get(ops)))
+            interpret=self.interpret))
+        score, i0, j0 = (np.asarray(x) for x in (score, i0, j0))
+        routes = _routes_walk_order(np.asarray(ops))
         return [(int(score[b]), routes[b], int(i0[b]), int(j0[b]))
-                for b in range(B)]
+                for b in range(BJ)]
 
     def run_right(self, jobs) -> list[tuple[int, list[CigarOp], int, int]]:
         if not jobs:
             return []
         n = self._bucket(max(len(a) for a, _ in jobs))
         m = self._bucket(max(len(b) for _, b in jobs))
+        jobs, BJ = self._padded(jobs)
         al, be, nv, mv = _pad_jobs(jobs, n, m)
-        B = al.shape[0]
-        S = _round_up(n + 1, 128)
-        bv, bd, trace = wavefront_gsw_right(
+        score, max_i, max_j, ops = jax.device_get(_right_full(
             jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
             jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
-            interpret=self.interpret)
-        bv = np.asarray(jax.device_get(bv))
-        bd = np.asarray(jax.device_get(bd))
-        max_i = np.argmax(bv, axis=1)  # smallest lane among maxima
-        max_v = bv[np.arange(B), max_i]
-        max_j = bd[np.arange(B), max_i] - max_i
-        # all-nonpositive matrices keep (0, 0) (search.go currMax=0 rule)
-        none = max_v <= 0
-        max_i = np.where(none, 0, max_i).astype(np.int32)
-        max_j = np.where(none, 0, max_j).astype(np.int32)
-        score = np.where(none, 0, max_v)
-        ops = _walk_right(trace, jnp.asarray(max_i), jnp.asarray(max_j),
-                          D=n + m, S=S)
-        routes = _routes_walk_order(np.asarray(jax.device_get(ops)))
+            interpret=self.interpret))
+        score, max_i, max_j = (np.asarray(x) for x in (score, max_i, max_j))
+        routes = _routes_walk_order(np.asarray(ops))
         return [(int(score[b]), routes[b], int(max_i[b]), int(max_j[b]))
-                for b in range(B)]
+                for b in range(BJ)]
