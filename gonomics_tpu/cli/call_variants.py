@@ -272,6 +272,122 @@ def get_variant(exp: list[Pile], norm: list[Pile], header: samio.Header,
     return _adjust_alts(v, deletion_indexes, types, ref)
 
 
+def _gather_counts(cd, idx: np.ndarray, lo: int) -> np.ndarray:
+    """(C, 13, 2) int64 counts at candidate offsets idx (rel to lo) for one
+    sample's _ChromCounts, zeros outside its covered span."""
+    out = np.zeros((len(idx), 13, 2), np.int64)
+    if cd is None:
+        return out
+    rel = idx + lo - cd.lo
+    m = (rel >= 0) & (rel < cd.counts.shape[0])
+    out[m] = cd.counts[rel[m]]
+    return out
+
+
+def _fisher_exact_less_vec(a, b, c, d) -> np.ndarray:
+    """Vectorized one-sided Fisher (numbers.FisherExact, aSmall=True).
+
+    The initial hypergeometric term uses a log-factorial table (~1e-14
+    relative accuracy vs the scalar carefulMultDivFloat path); the tail
+    recurrence is the scalar loop's exact float64 recurrence. Callers
+    compare against max_p with a small safety margin and confirm passes
+    through the exact scalar path, so last-ulp differences cannot change
+    output (see call_variants)."""
+    a = a.astype(np.int64).copy()
+    b = b.astype(np.int64).copy()
+    c = c.astype(np.int64).copy()
+    d = d.astype(np.int64).copy()
+    n = a + b + c + d
+    if len(n) == 0:
+        return np.zeros(0)
+    lf = np.concatenate(([0.0], np.cumsum(np.log(
+        np.arange(1, int(n.max()) + 1, dtype=np.float64)))))
+    curr = np.exp(lf[a + b] + lf[c + d] + lf[a + c] + lf[b + d]
+                  - lf[n] - lf[a] - lf[b] - lf[c] - lf[d])
+    total = curr.copy()
+    active = (a > 0) & (d > 0)
+    while active.any():
+        a[active] -= 1
+        b[active] += 1
+        c[active] += 1
+        d[active] -= 1
+        curr[active] *= ((a[active] + 1).astype(np.float64) / c[active]
+                         * (d[active] + 1).astype(np.float64) / b[active])
+        total[active] += curr[active]
+        active &= (a > 0) & (d > 0)
+    return total
+
+
+def _vector_snv_pass(cds, exists, depths, expsum, ref_codes, vec_idx,
+                     lo, n_exp, max_p, min_af, max_af, max_strand_bias,
+                     min_coverage, min_alt_reads) -> np.ndarray:
+    """One vectorized pass of getVariant's SNV decision over candidate
+    sites with no indel evidence: replicates fishersExactTest's exclusion
+    cascade (testVariant.go:307-388) in exact integer arithmetic and the
+    Fisher tail in float64, returning which sites have ANY alt passing
+    p < max_p for ANY experimental sample. Passing sites re-run the exact
+    scalar getVariant, so this pass only needs to be no-miss."""
+    n_samp = len(cds)
+    idx = vec_idx
+    C = len(idx)
+    ex_c = exists[:, idx]
+    dep_c = depths[:, idx]
+    G = [_gather_counts(cds[i], idx, lo) for i in range(n_samp)]
+    has_norm = (ex_c[n_exp:].any(axis=0) if n_samp > n_exp
+                else np.zeros(C, bool))
+    B_norm = np.zeros((C, 13, 2), np.int64)
+    dep_norm = np.zeros(C, np.int64)
+    for i in range(n_exp, n_samp):
+        B_norm += G[i] * ex_c[i][:, None, None]
+        dep_norm += dep_c[i] * ex_c[i]
+    B_exp = np.zeros((C, 13, 2), np.int64)
+    dep_exp_sum = np.zeros(C, np.int64)
+    for i in range(n_exp):
+        B_exp += G[i] * ex_c[i][:, None, None]
+        dep_exp_sum += dep_c[i] * ex_c[i]
+    B_cnt = np.where(has_norm[:, None, None], B_norm, B_exp)
+    dep_b = np.where(has_norm, dep_norm, dep_exp_sum)
+
+    # possible SNV alts: exp-sum evidence, not the ref base, not Gap
+    possible = expsum[idx] > 0
+    possible[np.arange(C), np.clip(ref_codes[idx], 0, 12)] = False
+    possible[:, dna.GAP] = False
+
+    d_all = B_cnt[:, :, 0] + B_cnt[:, :, 1]  # (C, 13)
+    site_pass = np.zeros(C, bool)
+    if 1.0 < max_p:
+        # exclusion cases and non-existing samples yield p == 1.0, which
+        # itself passes: any site with a possible alt emits
+        return possible.any(axis=1)
+    for e in range(n_exp):
+        c = G[e][:, :, 0] + G[e][:, :, 1]
+        fwd = G[e][:, :, 0]
+        mask = possible & ex_c[e][:, None]
+        dep_e = dep_c[e][:, None]
+        a = dep_e - c
+        b = dep_b[:, None] - d_all
+        d = d_all.copy()
+        nh = ~has_norm
+        b[nh] -= a[nh]
+        d[nh] -= c[nh]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fsb = fwd / c.astype(np.float64)
+            mask &= ~((fsb > max_strand_bias) | (fsb < 1 - max_strand_bias))
+            mask &= ~(c < min_alt_reads)
+            mask &= ~((a == b) & (c == d))
+            rc = c / (c + a).astype(np.float64)
+            rd = d / (d + b).astype(np.float64)
+            mask &= ~(rc < rd)
+            mask &= ~(a + c < min_coverage)
+            mask &= ~((rc < min_af) | (rc > max_af))
+        if mask.any():
+            si, ai = np.nonzero(mask)
+            p = _fisher_exact_less_vec(a[si, ai], b[si, ai],
+                                       c[si, ai], d[si, ai])
+            site_pass[si[p < max_p * (1 + 1e-9)]] = True
+    return site_pass
+
+
 class _CachedSeeker(Seeker):
     """Seeker that loads each chromosome once and serves slices from
     memory — getVariant asks for one anchor base per site, which would
@@ -317,23 +433,30 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
 
     read_filters = [lambda s: s.mapq >= min_mapq]
 
-    headers = []
-    dense = []
-    for fn in experimental_files + normal_files:
+    def load_one(fn: str):
         if native.available() and not samio._is_bam(fn):
             header = samio.read_header_text(fn)
             if not header.text:
                 raise SystemExit("ERROR: sam/bam files must have headers")
-            headers.append(header)
-            dense.append(pileup_dense_from_sam_path(fn, header, min_mapq,
-                                                    mesh=mesh))
-        else:
-            header, reads = samio.read(fn)
-            if not header.text:
-                raise SystemExit("ERROR: sam/bam files must have headers")
-            headers.append(header)
-            dense.append(pileup_dense(reads, header, read_filters,
-                                      mesh=mesh))
+            return header, pileup_dense_from_sam_path(fn, header, min_mapq,
+                                                      mesh=mesh)
+        header, reads = samio.read(fn)
+        if not header.text:
+            raise SystemExit("ERROR: sam/bam files must have headers")
+        return header, pileup_dense(reads, header, read_filters, mesh=mesh)
+
+    files = experimental_files + normal_files
+    if mesh is None and len(files) > 1 and native.available():
+        # per-file loads run concurrently: the native parse/scatter calls
+        # release the GIL (goroutine-per-sample in callVariants.go:47-60)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(files))) as ex:
+            loaded = list(ex.map(load_one, files))
+    else:
+        loaded = [load_one(fn) for fn in files]
+    headers = [h for h, _ in loaded]
+    dense = [d for _, d in loaded]
 
     ref_chroms = headers[0].chroms
     for h in headers[1:]:
@@ -357,16 +480,22 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
                 hi = max(hi, max(cd.ins.keys(), default=hi - 1) + 1)
         L = hi - lo
         exists = np.zeros((n_samp, L), bool)
-        expsum = np.zeros((L, 13), np.int64)
+        depths = np.zeros((n_samp, L), np.int64)
+        expsum = np.zeros((L, 13), np.int32)
         indel_ev = np.zeros(L, bool)
+        indel_pos = np.zeros(L, bool)
         for i, cd in enumerate(cds):
             if cd is None:
                 continue
             span = cd.counts.shape[0]
             off = cd.lo - lo
-            cnt = cd.counts.sum(axis=2)  # (span, 13)
-            depth = cnt.sum(axis=1).astype(np.int64)
-            touched = cd.counts.any(axis=(1, 2))
+            if cd.cnt2 is not None:
+                cnt = cd.cnt2
+                depth = cd.depth_arr.astype(np.int64)
+            else:
+                cnt = cd.counts.sum(axis=2)  # (span, 13)
+                depth = cnt.sum(axis=1).astype(np.int64)
+            touched = depth > 0  # counts are non-negative
             dvec = np.zeros(L, np.int64)
             tvec = np.zeros(L, bool)
             dvec[off:off + span] = depth
@@ -374,11 +503,15 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
             for p, (mf, mr) in cd.ins.items():
                 dvec[p - lo] += sum(mf.values()) + sum(mr.values())
                 tvec[p - lo] = True
+                indel_pos[p - lo] = True
+            for p in cd.dels:
+                if 0 <= p - lo < L:
+                    indel_pos[p - lo] = True
             exists[i] = tvec & (dvec >= min_coverage)
+            depths[i] = dvec
             if i < n_exp:
-                contrib = np.zeros((L, 13), np.int64)
-                contrib[off:off + span] = cnt
-                expsum += contrib * exists[i][:, None]
+                expsum[off:off + span] += (
+                    cnt * exists[i][off:off + span, None])
                 for p, (mf, mr) in cd.ins.items():
                     if exists[i, p - lo] and (any(v > 0 for v in mf.values())
                                               or any(v > 0
@@ -399,11 +532,26 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
         ref_codes = np.full(L, dna.N, np.int64)
         valid_pos = (pos_idx >= 1) & (pos_idx <= len(refarr))
         ref_codes[valid_pos] = refarr[pos_idx[valid_pos] - 1]
-        nonref = expsum.copy()
-        nonref[np.arange(L), np.clip(ref_codes, 0, 12)] = 0
-        nonref[:, dna.GAP] = 0
-        cand = exp_any & ((nonref.sum(axis=1) > 0) | indel_ev)
-        for p_off in np.nonzero(cand)[0].tolist():
+        # SNV evidence = row total minus the ref-base and Gap columns
+        # (exactly getPossibleAlts' non-empty condition)
+        clip_codes = np.clip(ref_codes, 0, 12)
+        snv_ev = (expsum.sum(axis=1)
+                  - expsum[np.arange(L), clip_codes]
+                  - expsum[:, dna.GAP] * (clip_codes != dna.GAP))
+        cand = exp_any & ((snv_ev > 0) | indel_ev)
+        # pure-SNV candidate sites go through one vectorized decision
+        # pass; only the passing ones (plus any site with indel
+        # evidence) materialize Piles and run the exact scalar caller
+        vec_mask = cand & ~indel_pos
+        emit = np.nonzero(cand & indel_pos)[0].tolist()
+        vec_idx = np.nonzero(vec_mask)[0]
+        if len(vec_idx):
+            passed = _vector_snv_pass(
+                cds, exists, depths, expsum, ref_codes, vec_idx, lo,
+                n_exp, max_p, min_af, max_af, max_strand_bias,
+                min_coverage, min_alt_reads)
+            emit.extend(vec_idx[passed].tolist())
+        for p_off in sorted(emit):
             pos = lo + p_off
             piles = []
             for i, cd in enumerate(cds):

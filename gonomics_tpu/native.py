@@ -64,6 +64,13 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p]
+            lib.runs_to_counts.restype = None
+            lib.runs_to_counts.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32]
             lib.format_sam_lines.restype = ctypes.c_int64
             lib.format_sam_lines.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,      # qnames
@@ -197,6 +204,36 @@ def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
     if wrote < 0:
         return None
     return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def runs_to_counts(starts, lens, fwds, ridx, bases, want_refidx: int,
+                   lo: int, span: int, nthreads: int = 0):
+    """Scatter (start, len, fwd, refidx) pileup runs into a dense
+    (span, 13, 2) int32 count tensor for one chromosome in one C pass
+    (replaces the np.repeat/arange/add.at expansion). Also returns the
+    strand-summed (span, 13) matrix and per-position depth, computed in
+    the same pass for callVariants' prescreen. None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    starts = np.ascontiguousarray(starts, np.int32)
+    lens = np.ascontiguousarray(lens, np.int32)
+    fwds = np.ascontiguousarray(fwds, np.uint8)
+    ridx = np.ascontiguousarray(ridx, np.int32)
+    bases = np.ascontiguousarray(bases, np.int8)
+    counts = np.zeros((span, 13, 2), np.int32)
+    cnt2 = np.zeros((span, 13), np.int32)
+    depth = np.zeros(span, np.int32)
+    vp = ctypes.c_void_p
+    lib.runs_to_counts(
+        starts.ctypes.data_as(vp), lens.ctypes.data_as(vp),
+        fwds.ctypes.data_as(vp), ridx.ctypes.data_as(vp),
+        bases.ctypes.data_as(vp), len(starts), want_refidx, lo, span,
+        counts.ctypes.data_as(vp), cnt2.ctypes.data_as(vp),
+        depth.ctypes.data_as(vp), nthreads)
+    return counts, cnt2, depth
 
 
 def sam_scatter(text: bytes, chrom_names: list[str], min_mapq: int):

@@ -73,6 +73,10 @@ class _ChromCounts:
     def __init__(self, size: int):
         self.size = size
         self.counts: np.ndarray | None = None
+        # native-path extras: strand-summed (span, 13) matrix and
+        # per-position base depth, filled in the same C scatter pass
+        self.cnt2: np.ndarray | None = None
+        self.depth_arr: np.ndarray | None = None
         self.lo = 0
         self.ins: dict[int, list[dict]] = {}
         self.dels: dict[int, list[dict]] = {}
@@ -330,29 +334,44 @@ def _dense_from_runs(header: Header, starts, lens, fwds, ridx, bases,
         m[key] = m.get(key, 0) + 1
 
     if len(starts):
-        lens64 = lens.astype(np.int64)
-        total = int(lens64.sum())
-        csum = np.concatenate(([0], np.cumsum(lens64)[:-1]))
-        intra = np.arange(total) - np.repeat(csum, lens64)
-        pos = np.repeat(starts.astype(np.int64), lens64) + intra
-        base = bases.astype(np.int64)
-        strand = np.repeat(fwds.astype(np.int64), lens64)
-        rr = np.repeat(ridx.astype(np.int64), lens64)
-        for refidx in np.unique(rr):
+        from . import native
+
+        run_ends = starts.astype(np.int64) + lens.astype(np.int64)
+        for refidx in np.unique(ridx):
             cd = cd_for(int(refidx))
-            m = rr == refidx
-            pm = pos[m]
+            m = ridx == refidx
             ins_pos = list(cd.ins.keys())
-            lo = int(min(pm.min(), min(ins_pos, default=pm.min())))
-            hi = int(max(pm.max(), max(ins_pos, default=pm.max())))
+            rmin = int(starts[m].min())
+            rmax = int(run_ends[m].max()) - 1
+            lo = int(min(rmin, min(ins_pos, default=rmin)))
+            hi = int(max(rmax, max(ins_pos, default=rmax)))
             cd.lo = lo
             span = hi - lo + 1
+            if mesh is None:
+                got = native.runs_to_counts(starts, lens, fwds, ridx,
+                                            bases, int(refidx), lo, span)
+                if got is not None:
+                    cd.counts, cd.cnt2, cd.depth_arr = got
+                    continue
+            # fallback / mesh path: numpy expansion to flat events
+            lens64 = lens[m].astype(np.int64)
+            total = int(lens64.sum())
+            csum = np.concatenate(([0], np.cumsum(lens64)[:-1]))
+            intra = np.arange(total) - np.repeat(csum, lens64)
+            pm = np.repeat(starts[m].astype(np.int64), lens64) + intra
+            boff = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))
+            bsel = np.concatenate(
+                [bases[boff[i]:boff[i + 1]]
+                 for i in np.nonzero(m)[0]]) if total else bases[:0]
+            strand = np.repeat(fwds[m].astype(np.int64), lens64)
             if mesh is not None:
-                cd.counts = _device_counts(mesh, pm - lo, base[m],
-                                           strand[m], span)
+                cd.counts = _device_counts(mesh, pm - lo,
+                                           bsel.astype(np.int64),
+                                           strand, span)
             else:
                 cd.counts = np.zeros((span, 13, 2), np.int32)
-                np.add.at(cd.counts, (pm - lo, base[m], strand[m]), 1)
+                np.add.at(cd.counts,
+                          (pm - lo, bsel.astype(np.int64), strand), 1)
 
     for cd in chrom_data.values():
         if cd.counts is None:

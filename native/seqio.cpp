@@ -288,6 +288,81 @@ int64_t format_sam_lines(const uint8_t* qnames, int64_t qnames_len,
     return p - buf;
 }
 
+// Scatter pileup runs into a dense (span x 13 x 2) int32 count tensor
+// for one chromosome — the hot np.add.at/repeat expansion of
+// pileup._dense_from_runs done in one C pass. Threads split the
+// position range [lo, lo+span); each clips every run to its range, so
+// writes never race (a run touches <=2 ranges in practice).
+// counts must be zero-initialized by the caller.
+// cnt2 (span x 13, strand-summed) and depth (span) are filled in the
+// same pass — they feed callVariants' vectorized prescreen without
+// extra numpy reductions over the dense tensor.
+void runs_to_counts(const int32_t* starts, const int32_t* lens,
+                    const uint8_t* fwds, const int32_t* ridx,
+                    const int8_t* bases, int64_t n_runs,
+                    int32_t want_refidx, int64_t lo, int64_t span,
+                    int32_t* counts, int32_t* cnt2, int32_t* depth,
+                    int32_t nthreads) {
+    // per-run base offsets (prefix sum over ALL runs)
+    std::vector<int64_t> boff(n_runs);
+    int64_t acc = 0;
+    for (int64_t r = 0; r < n_runs; r++) {
+        boff[r] = acc;
+        acc += lens[r];
+    }
+    if (nthreads < 1) nthreads = 1;
+    int64_t chunk = (span + nthreads - 1) / nthreads;
+    auto work = [&](int t) {
+        int64_t r_lo = lo + t * chunk;
+        int64_t r_hi = r_lo + chunk;
+        if (r_hi > lo + span) r_hi = lo + span;
+        if (r_lo >= r_hi) return;
+        for (int64_t r = 0; r < n_runs; r++) {
+            if (ridx[r] != want_refidx) continue;
+            int64_t s = starts[r];
+            int64_t e = s + lens[r];
+            if (e <= r_lo || s >= r_hi) continue;
+            int64_t cs = s < r_lo ? r_lo : s;
+            int64_t ce = e > r_hi ? r_hi : e;
+            const int8_t* bp = bases + boff[r] + (cs - s);
+            int32_t strand = fwds[r];
+            for (int64_t p = cs; p < ce; p++) {
+                int64_t bb = (int64_t)(*bp++);
+                counts[(p - lo) * 26 + bb * 2 + strand]++;
+            }
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    // derive the strand-summed matrix + depth in one sweep
+    auto sweep = [&](int t) {
+        int64_t r_lo = t * chunk, r_hi = r_lo + chunk;
+        if (r_hi > span) r_hi = span;
+        for (int64_t rel = r_lo; rel < r_hi; rel++) {
+            const int32_t* row = counts + rel * 26;
+            int32_t dtot = 0;
+            for (int64_t bb = 0; bb < 13; bb++) {
+                int32_t v = row[bb * 2] + row[bb * 2 + 1];
+                cnt2[rel * 13 + bb] = v;
+                dtot += v;
+            }
+            depth[rel] = dtot;
+        }
+    };
+    if (nthreads == 1) {
+        sweep(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(sweep, t);
+        for (auto& th : pool) th.join();
+    }
+}
+
 // SAM-text -> pileup scatter runs: tokenizes alignment lines and walks
 // cigars into flat (start, len, fwd, refidx) runs with base codes (GAP
 // for deletions), plus sparse del/ins event lists — the C++ host-layer
