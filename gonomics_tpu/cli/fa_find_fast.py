@@ -60,6 +60,24 @@ def speedy_window_difference(reference, first_query, second_query, *,
     ref = np.asarray(reference)
     W = window_size
 
+    if not long_output and not output_aln_pos and not gc_content:
+        # default short format: the whole scan (event pass + threaded
+        # O(1)-edge-update sweep + bed formatting) runs in one native
+        # call; the numpy path below is the tested oracle/fallback
+        from .. import native
+
+        data = native.fa_find_windows(ref, fq, sq, W, remove_n,
+                                      ref_chrom_name)
+        if data is not None:
+            sink = getattr(out, "buffer", None)  # text file -> raw bytes
+            if sink is not None:
+                sink.write(data)
+            elif hasattr(out, "getbuffer"):  # BytesIO
+                out.write(data)
+            else:
+                out.write(data.decode())
+            return
+
     p_cache = None
     if divergence_rate != MAX_FLOAT64:
         p_cache = binomial_dist_cache_log10(W, divergence_rate)

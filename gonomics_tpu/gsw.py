@@ -346,6 +346,137 @@ class GswAligner:
             out |= vals[i:n + i] << np.uint64(2 * (k - 1 - i))
         return out, valid
 
+    # ---- batched seed finding (sorted-table design, tpu_align style) ----
+
+    def _build_seed_table(self) -> None:
+        """Flatten the kmer dict into a sorted (code, packed) table plus
+        concatenated node sequences, so a whole batch's seed lookups are
+        two searchsorted calls and the within-node exact-match extents
+        are two batched int8 compares (index.go:21-57, search.go:339-373
+        rebuilt batch-first). Stable sort keeps per-code insertion order,
+        so hit order — and therefore seed order after the stable
+        total-length sort — matches the scalar path exactly."""
+        codes_l, packed_l = [], []
+        for c, lst in self.index.items():
+            codes_l.append(np.full(len(lst), c, np.uint64))
+            packed_l.append(np.asarray(lst, np.int64))
+        if codes_l:
+            tc = np.concatenate(codes_l)
+            tp = np.concatenate(packed_l)
+        else:
+            tc = np.zeros(0, np.uint64)
+            tp = np.zeros(0, np.int64)
+        order = np.argsort(tc, kind="stable")
+        lens = np.array([len(n.seq) for n in self.g.nodes], np.int64)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        self._seed_table = {
+            "codes": tc[order], "packed": tp[order],
+            "concat": (np.concatenate([n.seq for n in self.g.nodes])
+                       if len(self.g.nodes) else np.zeros(0, np.int8)),
+            "off": off[:-1], "len": lens,
+            "has_next": np.array([bool(n.next) for n in self.g.nodes]),
+        }
+
+    def find_seeds_batch(self, reads: list[FastqBig]) -> list[list[Seed]]:
+        """find_seeds for a whole batch in a handful of numpy passes;
+        per-hit Python survives only for boundary-crossing extensions
+        (node-edge walks, rare) and Seed object assembly."""
+        if getattr(self, "_seed_table", None) is None:
+            self._build_seed_table()
+        st = self._seed_table
+        k = self.seed_len
+        R = len(reads)
+        Ls = np.array([len(r.seq) for r in reads], np.int64)
+        Lmax = int(Ls.max()) if R else 0
+        n_codes = Lmax - k + 1
+        if n_codes <= 0 or len(st["codes"]) == 0:
+            return [self.find_seeds(r) for r in reads]
+        SEQ = np.full((2 * R, Lmax), 12, np.int8)
+        for i, r in enumerate(reads):
+            SEQ[2 * i, :Ls[i]] = r.seq
+            SEQ[2 * i + 1, :Ls[i]] = r.seq_rc
+        S64 = SEQ.astype(np.int64)
+        lt4 = S64 < 4
+        valid = np.lib.stride_tricks.sliding_window_view(
+            lt4, k, axis=1).all(axis=2)
+        vals = np.where(lt4, S64, 0).astype(np.uint64)
+        codes = np.zeros((2 * R, n_codes), np.uint64)
+        for i in range(k):
+            codes |= vals[:, i:n_codes + i] << np.uint64(2 * (k - 1 - i))
+        row_len = np.repeat(Ls, 2)
+        valid &= np.arange(n_codes)[None, :] <= (row_len[:, None] - k)
+        rows, rss = np.nonzero(valid)  # row-major == scalar seed order
+        q = codes[rows, rss]
+        lo = np.searchsorted(st["codes"], q, side="left")
+        hi = np.searchsorted(st["codes"], q, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        rows_h = np.repeat(rows[m], cnt[m])
+        rs_h = np.repeat(rss[m], cnt[m])
+        l0, c0 = lo[m], cnt[m]
+        base = np.repeat(l0, c0)
+        offs = np.arange(len(base)) - np.repeat(np.cumsum(c0) - c0, c0)
+        pk = st["packed"][base + offs]
+        node_idx = (pk >> 32).astype(np.int64)
+        node_pos = (pk & 0xFFFFFFFF).astype(np.int64)
+        H = len(pk)
+        per_read: list[list[Seed]] = [[] for _ in reads]
+        if H == 0:
+            return per_read
+        concat, noffs, nlens = st["concat"], st["off"], st["len"]
+        t = np.arange(Lmax)
+        noff = noffs[node_idx]
+        nlen = nlens[node_idx]
+        # left extent from the hit position (count_left capped at
+        # min(node_pos+1, rs+1)); out-of-limit columns count as mismatch
+        lt_lim = np.minimum(node_pos + 1, rs_h + 1)
+        gi = (noff + node_pos)[:, None] - t[None, :]
+        ri = rs_h[:, None] - t[None, :]
+        eql = ((concat[np.clip(gi, 0, len(concat) - 1)]
+                == SEQ[rows_h[:, None], np.clip(ri, 0, Lmax - 1)])
+               & (t[None, :] < lt_lim[:, None]))
+        neq = ~eql
+        left_run = np.where(neq.any(axis=1), neq.argmax(axis=1), lt_lim)
+        rs0 = rs_h - (left_run - 1)
+        np0 = node_pos - (left_run - 1)
+        # right extent from the extended start
+        rt_lim = np.minimum(nlen - np0, row_len[rows_h] - rs0)
+        gi2 = (noff + np0)[:, None] + t[None, :]
+        ri2 = rs0[:, None] + t[None, :]
+        eqr = ((concat[np.clip(gi2, 0, len(concat) - 1)]
+                == SEQ[rows_h[:, None], np.clip(ri2, 0, Lmax - 1)])
+               & (t[None, :] < rt_lim[:, None]))
+        neqr = ~eqr
+        right_run = np.where(neqr.any(axis=1), neqr.argmax(axis=1), rt_lim)
+        cross_right = ((rs0 + right_run < row_len[rows_h])
+                       & (np0 + right_run == nlen)
+                       & st["has_next"][node_idx])
+        strand_pos = rows_h % 2 == 0
+        maybe_left = strand_pos & (rs0 > 0) & (np0 == 0)
+        ri_h = (rows_h // 2).tolist()
+        for h in range(H):
+            strand = bool(strand_pos[h])
+            read = reads[ri_h[h]]
+            seq = read.seq if strand else read.seq_rc
+            out = per_read[ri_h[h]]
+            node = self.g.nodes[node_idx[h]]
+            if cross_right[h]:
+                parts = self._extend_right(node, seq, int(rs0[h]),
+                                           int(np0[h]), strand)
+            else:
+                parts = [Seed(int(node_idx[h]), int(np0[h]), int(rs0[h]),
+                              int(right_run[h]), strand,
+                              int(right_run[h]))]
+            if strand and maybe_left[h]:
+                for p in parts:
+                    out.extend(self._extend_left(node, seq, p))
+            else:
+                out.extend(parts)
+        for lst in per_read:
+            lst.sort(key=lambda s: -s.total_length)
+        return per_read
+
     def find_seeds(self, read: FastqBig) -> list[Seed]:
         seeds: list[Seed] = []
         k = self.seed_len
@@ -376,14 +507,16 @@ class GswAligner:
 
     # ---- alignment (toGiraf.go GraphSmithWatermanToGiraf) ----
 
-    def align_start(self, read: FastqBig) -> AlnState:
+    def align_start(self, read: FastqBig,
+                    seeds: list[Seed] | None = None) -> AlnState:
         best = Giraf(qname=read.name, q_start=0, q_end=0, pos_strand=True,
                      path=Path(), cigar=[], aln_score=0, mapq=255,
                      seq=read.seq, qual=read.qual,
                      notes=[Note("XO", "Z", "~")])
         perfect = int(self._match_score[np.asarray(read.seq, np.int64)].sum())
         extension = perfect // 600 + len(read.seq)
-        return AlnState(best, perfect, extension, self.find_seeds(read))
+        return AlnState(best, perfect, extension,
+                        self.find_seeds(read) if seeds is None else seeds)
 
     @staticmethod
     def seed_tail(s: Seed) -> Seed:

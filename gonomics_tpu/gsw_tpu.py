@@ -71,7 +71,7 @@ class TpuGswAligner:
     def __init__(self, graph: GenomeGraph, seed_len: int = 32,
                  step_size: int = 32, scores: np.ndarray = HUMAN_CHIMP_TWO,
                  node_names: dict[int, str] | None = None,
-                 interpret: bool | None = None, wave: int = 4):
+                 interpret: bool | None = None, wave: int = 8):
         if interpret is None:  # auto: interpret unless a real TPU is up
             import jax
 
@@ -106,7 +106,8 @@ class TpuGswAligner:
 
     def align_batch(self, reads: list[FastqBig]) -> list[Giraf]:
         al = self.host
-        states = [al.align_start(r) for r in reads]
+        seed_lists = al.find_seeds_batch(reads)
+        states = [al.align_start(r, s) for r, s in zip(reads, seed_lists)]
         active = [i for i in range(len(reads))]
         pos = [0] * len(reads)  # next seed index per read
 
@@ -120,8 +121,8 @@ class TpuGswAligner:
                                 min(pos[ri] + wave, len(st.seeds))):
                     spans[(ri, si)] = self._record_seed(
                         reads[ri], st.seeds[si], st.extension, rec)
-            left_res = self.dp.run_left(rec.left_jobs)
-            right_res = self.dp.run_right(rec.right_jobs)
+            left_res, right_res = self.dp.run_both(rec.left_jobs,
+                                                   rec.right_jobs)
 
             still = []
             for ri in active:
@@ -144,7 +145,7 @@ class TpuGswAligner:
             active = still
             # the long tail (few reads, many seeds) would otherwise pay a
             # device round-trip per tiny wave — grow geometrically
-            wave = min(wave * 2, 256)
+            wave = min(wave * 4, 512)
 
         return [al.align_finish(st) for st in states]
 

@@ -64,6 +64,12 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p]
+            lib.fa_find_windows.restype = ctypes.c_int64
+            lib.fa_find_windows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32]
             lib.runs_to_counts.restype = None
             lib.runs_to_counts.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -204,6 +210,33 @@ def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
     if wrote < 0:
         return None
     return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def fa_find_windows(ref, fq, sq, window: int, remove_n: bool,
+                    name: str, nthreads: int = 0) -> str | None:
+    """Full faFindFast short-format scan in one native call: event pass +
+    threaded O(1)-edge-update window sweep + bed formatting. None on
+    fallback (caller uses the vectorized numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    ref = np.ascontiguousarray(ref, np.int8)
+    fq = np.ascontiguousarray(fq, np.int8)
+    sq = np.ascontiguousarray(sq, np.int8)
+    n = len(fq)
+    cap = max(1024, (2 * len(name.encode()) + 48) * max(1, n - window + 1))
+    buf = np.empty(cap, np.uint8)  # no memset; C writes the used span
+    vp = ctypes.c_void_p
+    wrote = lib.fa_find_windows(
+        ref.ctypes.data_as(vp), fq.ctypes.data_as(vp),
+        sq.ctypes.data_as(vp), n, window, 1 if remove_n else 0,
+        name.encode(), buf.ctypes.data_as(vp), cap, nthreads)
+    if wrote < 0:
+        return None
+    return buf[:int(wrote)].tobytes()  # ASCII; callers decode only if
+    # their sink is text-mode
 
 
 def runs_to_counts(starts, lens, fwds, ridx, bases, want_refidx: int,

@@ -155,62 +155,80 @@ class GswDpBatch:
 
     Results match gsw.left_dynamic_aln / gsw.right_dynamic_aln exactly:
     left -> (score, route, i_stop, j_stop); right -> (score, route,
-    max_i, max_j). Lengths are bucketed to multiples of 64 to bound the
-    number of compiled kernel shapes."""
+    max_i, max_j).
+
+    Shape policy (the graph engine's throughput hinges on it): job counts
+    are chunked to a FIXED size (one compiled batch shape per side, ever)
+    and sequence lengths are bucketed to multiples of 64 with a sticky
+    per-side maximum, so a kernel recompile (~30s+ through the remote
+    tunnel) happens at most a couple of times over an aligner's lifetime
+    instead of whenever a wave's job count crosses a bucket. All chunks
+    of a wave dispatch asynchronously; device_get happens once."""
+
+    CHUNK = 256
 
     def __init__(self, scores: np.ndarray, gap: int = -600, *,
                  interpret: bool = False):
         self.scores = np.asarray(scores, np.int64)
         self.gap = gap
         self.interpret = interpret
+        self._dims = {"left": [64, 64], "right": [64, 64]}  # sticky n, m
 
     @staticmethod
     def _bucket(x: int) -> int:
         return max(64, _round_up(x, 64))
 
-    @staticmethod
-    def _bucket_count(x: int) -> int:
-        b = 16
-        while b < x:
-            b *= 2
-        return b
-
-    def _padded(self, jobs):
-        """Pad the job list to a power-of-two count so wave-to-wave shape
-        churn doesn't recompile the kernel (30s+ per compile through the
-        remote tunnel dominated graph-alignment throughput)."""
-        BJ = len(jobs)
+    def _start(self, side: str, jobs):
+        """Dispatch all fixed-size chunks for one side; returns handles."""
+        if not jobs:
+            return []
+        dims = self._dims[side]
+        dims[0] = max(dims[0], self._bucket(max(len(a) for a, _ in jobs)))
+        dims[1] = max(dims[1], self._bucket(max(len(b) for _, b in jobs)))
+        n, m = dims
+        fn = _left_full if side == "left" else _right_full
         empty = (np.zeros(0, np.int8), np.zeros(0, np.int8))
-        return list(jobs) + [empty] * (self._bucket_count(BJ) - BJ), BJ
+        handles = []
+        for c0 in range(0, len(jobs), self.CHUNK):
+            chunk = list(jobs[c0:c0 + self.CHUNK])
+            used = len(chunk)
+            chunk += [empty] * (self.CHUNK - used)
+            al, be, nv, mv = _pad_jobs(chunk, n, m)
+            res = fn(jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
+                     jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
+                     interpret=self.interpret)
+            handles.append((res, used))
+        return handles
+
+    @staticmethod
+    def _finish(handles) -> list[tuple[int, list[CigarOp], int, int]]:
+        out: list[tuple[int, list[CigarOp], int, int]] = []
+        # one bulk transfer: copy_to_host_async on every array of every
+        # chunk first, so the tunnel round-trips overlap instead of
+        # paying ~8ms serially per array
+        for res, _ in handles:
+            for x in res:
+                if hasattr(x, "copy_to_host_async"):
+                    x.copy_to_host_async()
+        fetched = jax.device_get([res for res, _ in handles])
+        for (res, used), vals in zip(handles, fetched):
+            score, i0, j0, ops = (np.asarray(x) for x in vals)
+            routes = _routes_walk_order(ops)
+            out.extend((int(score[b]), routes[b], int(i0[b]), int(j0[b]))
+                       for b in range(used))
+        return out
+
+    def run_both(self, left_jobs, right_jobs):
+        """One wave: dispatch every chunk of both sides before fetching
+        anything, so the tunnel round-trip is paid once per wave."""
+        lh = self._start("left", left_jobs)
+        rh = self._start("right", right_jobs)
+        both = self._finish(lh + rh)
+        nl = sum(used for _, used in lh)
+        return both[:nl], both[nl:]
 
     def run_left(self, jobs) -> list[tuple[int, list[CigarOp], int, int]]:
-        if not jobs:
-            return []
-        n = self._bucket(max(len(a) for a, _ in jobs))
-        m = self._bucket(max(len(b) for _, b in jobs))
-        jobs, BJ = self._padded(jobs)
-        al, be, nv, mv = _pad_jobs(jobs, n, m)
-        score, i0, j0, ops = jax.device_get(_left_full(
-            jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
-            jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
-            interpret=self.interpret))
-        score, i0, j0 = (np.asarray(x) for x in (score, i0, j0))
-        routes = _routes_walk_order(np.asarray(ops))
-        return [(int(score[b]), routes[b], int(i0[b]), int(j0[b]))
-                for b in range(BJ)]
+        return self._finish(self._start("left", jobs))
 
     def run_right(self, jobs) -> list[tuple[int, list[CigarOp], int, int]]:
-        if not jobs:
-            return []
-        n = self._bucket(max(len(a) for a, _ in jobs))
-        m = self._bucket(max(len(b) for _, b in jobs))
-        jobs, BJ = self._padded(jobs)
-        al, be, nv, mv = _pad_jobs(jobs, n, m)
-        score, max_i, max_j, ops = jax.device_get(_right_full(
-            jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
-            jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
-            interpret=self.interpret))
-        score, max_i, max_j = (np.asarray(x) for x in (score, max_i, max_j))
-        routes = _routes_walk_order(np.asarray(ops))
-        return [(int(score[b]), routes[b], int(max_i[b]), int(max_j[b]))
-                for b in range(BJ)]
+        return self._finish(self._start("right", jobs))

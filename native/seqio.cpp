@@ -288,6 +288,244 @@ int64_t format_sam_lines(const uint8_t* qnames, int64_t qnames_len,
     return p - buf;
 }
 
+// faFindFast short-format scan: one pass over the alignment builds
+// per-base event values (the incrementWindowEdge outputs of
+// cmd/faFindFast/efficient.go:34-269 in the prefix-sum algebra of
+// cli/fa_find_fast.py, which is golden-tested), then threads sweep
+// disjoint window ranges with O(1) edge updates, formatting bed lines
+// into private buffers. Codes are the dna.py alphabet (A..T=0..3, N=4,
+// a..t=5..8, n=9, GAP=10).
+// Returns bytes written, 0 if fewer than W query bases, -1 on overflow.
+int64_t fa_find_windows(const int8_t* ref, const int8_t* fq,
+                        const int8_t* sq, int64_t n, int32_t W,
+                        int32_t remove_n, const char* name, char* buf,
+                        int64_t cap, int32_t nthreads) {
+    const int8_t GAP = 10, NBASE = 4;
+    auto define_base = [](int8_t x) {
+        return (x >= 0 && x <= 3) || (x >= 5 && x <= 8);
+    };
+    // clean-mode pre-scan: with no gaps anywhere the window algebra
+    // collapses to windowed substitutions with identity coordinates
+    // (cs = ws, ce = ws + W) — the common whole-chromosome case
+    {
+        bool clean = true;
+        for (int64_t j = 0; j < n && clean; j++)
+            clean = ref[j] != GAP && fq[j] != GAP && sq[j] != GAP;
+        if (clean && n >= W) {
+            std::vector<int8_t> subst(n), isn;
+            for (int64_t j = 0; j < n; j++) {
+                int8_t fb = fq[j], sb = sq[j];
+                subst[j] = fb != sb && define_base(fb) && define_base(sb);
+            }
+            if (remove_n) {
+                isn.resize(n);
+                for (int64_t j = 0; j < n; j++)
+                    isn[j] = (fq[j] == NBASE) + (sq[j] == NBASE);
+            }
+            int64_t n_win = n - W + 1;
+            if (nthreads < 1) nthreads = 1;
+            if (nthreads > n_win) nthreads = 1;
+            int64_t chunk = (n_win + nthreads - 1) / nthreads;
+            size_t name_len = std::strlen(name);
+            std::vector<std::vector<char>> outs(nthreads);
+            std::vector<int64_t> out_len(nthreads, 0);
+            auto work = [&](int t) {
+                int64_t w0 = t * chunk;
+                int64_t w1 = w0 + chunk < n_win ? w0 + chunk : n_win;
+                if (w0 >= w1) return;
+                std::vector<char>& ob = outs[t];
+                ob.resize((w1 - w0) * (2 * name_len + 48) + 96);
+                char* out = ob.data();
+                int64_t s_sub = 0, s_nn = 0;
+                for (int64_t k = w0; k < w0 + W; k++) {
+                    s_sub += subst[k];
+                    if (remove_n) s_nn += isn[k];
+                }
+                // incremental line template: successive cs/ce advance by
+                // one, so their decimal strings are incremented in place
+                // and only the muts tail is reformatted per window
+                char line[96];
+                int cs1_end = 0, cs2_end = 0, ce_end = 0, muts_off = 0;
+                int64_t cs = w0;
+                auto rebuild = [&]() {
+                    char* p = line;
+                    std::memcpy(p, name, name_len); p += name_len;
+                    *p++ = '\t';
+                    p = put_i64(p, cs); cs1_end = (int)(p - line);
+                    *p++ = '\t';
+                    p = put_i64(p, cs + W); ce_end = (int)(p - line);
+                    *p++ = '\t';
+                    std::memcpy(p, name, name_len); p += name_len;
+                    *p++ = '_';
+                    p = put_i64(p, cs); cs2_end = (int)(p - line);
+                    *p++ = '\t';
+                    muts_off = (int)(p - line);
+                };
+                auto inc_dec = [&](int end_idx) {
+                    // increment the decimal string ending at end_idx-1;
+                    // returns false on digit-count rollover
+                    char* d = line + end_idx - 1;
+                    while (*d == '9') {
+                        *d-- = '0';
+                        if (*d < '0' || *d > '9') return false;
+                    }
+                    (*d)++;
+                    return true;
+                };
+                rebuild();
+                for (int64_t ws = w0; ws < w1; ws++) {
+                    if (ws > w0) {
+                        s_sub += subst[ws + W - 1] - subst[ws - 1];
+                        if (remove_n) s_nn += isn[ws + W - 1] - isn[ws - 1];
+                        cs = ws;
+                        if (!inc_dec(cs1_end) || !inc_dec(ce_end) ||
+                            !inc_dec(cs2_end))
+                            rebuild();
+                    }
+                    if (remove_n && s_nn != 0) continue;
+                    char* p = line + muts_off;
+                    p = put_i64(p, s_sub);
+                    *p++ = '\n';
+                    std::memcpy(out, line, p - line);
+                    out += p - line;
+                }
+                out_len[t] = out - ob.data();
+            };
+            if (nthreads == 1) {
+                work(0);
+            } else {
+                std::vector<std::thread> pool;
+                for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+                for (auto& th : pool) th.join();
+            }
+            int64_t total = 0;
+            for (int t = 0; t < nthreads; t++) total += out_len[t];
+            if (total > cap) return -1;
+            char* p = buf;
+            for (int t = 0; t < nthreads; t++) {
+                std::memcpy(p, outs[t].data(), out_len[t]);
+                p += out_len[t];
+            }
+            return total;
+        }
+    }
+    // phase A: per-fq-base events
+    std::vector<int8_t> subst, nn, run_oc, op, cl, ref_nongap;
+    std::vector<int32_t> run_ns, refcnt;
+    int64_t est = n;  // K <= n
+    subst.reserve(est); nn.reserve(est); run_oc.reserve(est);
+    op.reserve(est); cl.reserve(est); ref_nongap.reserve(est);
+    run_ns.reserve(est); refcnt.reserve(est);
+    int32_t rcnt = 0;
+    int32_t cur_run_ns = 0;
+    int8_t cur_run_oc = 0;
+    bool prev_sq_gap = false, have_prev = false;
+    for (int64_t j = 0; j < n; j++) {
+        if (fq[j] == GAP) {
+            if (sq[j] == NBASE) cur_run_ns++;
+            if (sq[j] != GAP) cur_run_oc = 1;
+        } else {
+            int8_t fb = fq[j], sb = sq[j];
+            bool sg = sb == GAP;
+            subst.push_back(fb != sb && define_base(fb) && define_base(sb));
+            nn.push_back((fb == NBASE) + (sb == NBASE));
+            run_ns.push_back(cur_run_ns);
+            run_oc.push_back(cur_run_oc);
+            op.push_back(sg && (!have_prev || !prev_sq_gap));
+            cl.push_back(!sg && have_prev && prev_sq_gap);
+            refcnt.push_back(rcnt);
+            ref_nongap.push_back(ref[j] != GAP);
+            cur_run_ns = 0; cur_run_oc = 0;
+            prev_sq_gap = sg; have_prev = true;
+        }
+        if (ref[j] != GAP) rcnt++;
+    }
+    int64_t K = (int64_t)subst.size();
+    if (K < W) return 0;
+    int64_t n_win = K - W + 1;
+    // prefix sums of op/cl for thread-start initialization
+    std::vector<int64_t> Cop(K + 1), Ccl(K + 1);
+    for (int64_t k = 0; k < K; k++) {
+        Cop[k + 1] = Cop[k] + op[k];
+        Ccl[k + 1] = Ccl[k] + cl[k];
+    }
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > n_win) nthreads = 1;
+    int64_t chunk = (n_win + nthreads - 1) / nthreads;
+    size_t name_len = std::strlen(name);
+    // data-dependent tracking: alignments with no gaps (or no Ns) skip
+    // the corresponding edge updates entirely — the common clean-window
+    // case costs one subst update + formatting per window
+    bool track_gaps = Cop[K] > 0 || Ccl[K] > 0;
+    bool track_n = remove_n;
+    if (!track_gaps)
+        for (int64_t k = 0; k < K && !track_gaps; k++)
+            if (run_oc[k]) track_gaps = true;
+    std::vector<std::vector<char>> outs(nthreads);
+    std::vector<int64_t> out_len(nthreads, 0);
+    auto work = [&](int t) {
+        int64_t w0 = t * chunk;
+        int64_t w1 = w0 + chunk < n_win ? w0 + chunk : n_win;
+        if (w0 >= w1) return;
+        std::vector<char>& ob = outs[t];
+        ob.resize((w1 - w0) * (2 * name_len + 48) + 96);
+        char* p = ob.data();
+        // window sums at ws = w0
+        int64_t s_sub = 0, s_nn = 0, s_rns = 0, s_roc = 0;
+        for (int64_t k = w0; k < w0 + W; k++) {
+            s_sub += subst[k];
+            s_nn += nn[k];
+            if (k > w0) { s_rns += run_ns[k]; s_roc += run_oc[k]; }
+        }
+        int64_t op_cum = Cop[w0 + W];  // sum op[0..ws+W-1]
+        int64_t cl_cum = Ccl[w0 + 1];  // sum cl[0..ws]
+        for (int64_t ws = w0; ws < w1; ws++) {
+            if (ws > w0) {
+                s_sub += subst[ws + W - 1] - subst[ws - 1];
+                if (track_n)
+                    s_nn += nn[ws + W - 1] - nn[ws - 1];
+                if (track_gaps) {
+                    if (track_n)
+                        s_rns += run_ns[ws + W - 1] - run_ns[ws];
+                    s_roc += run_oc[ws + W - 1] - run_oc[ws];
+                    op_cum += op[ws + W - 1];
+                    cl_cum += cl[ws];
+                }
+            }
+            if (!ref_nongap[ws] || !ref_nongap[ws + W - 1]) continue;
+            if (remove_n && s_nn + s_rns != 0) continue;
+            int64_t muts = s_sub + s_roc + op_cum - cl_cum;
+            int64_t cs = refcnt[ws];
+            int64_t ce = refcnt[ws + W - 1] + 1;  // ref_nongap at last edge
+            std::memcpy(p, name, name_len); p += name_len; *p++ = '\t';
+            char* digs = p;
+            p = put_i64(p, cs); *p++ = '\t';
+            size_t cs_len = (size_t)(p - digs) - 1;
+            p = put_i64(p, ce); *p++ = '\t';
+            std::memcpy(p, name, name_len); p += name_len; *p++ = '_';
+            std::memcpy(p, digs, cs_len); p += cs_len; *p++ = '\t';
+            p = put_i64(p, muts); *p++ = '\n';
+        }
+        out_len[t] = p - ob.data();
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (int t = 0; t < nthreads; t++) total += out_len[t];
+    if (total > cap) return -1;
+    char* p = buf;
+    for (int t = 0; t < nthreads; t++) {
+        std::memcpy(p, outs[t].data(), out_len[t]);
+        p += out_len[t];
+    }
+    return total;
+}
+
 // Scatter pileup runs into a dense (span x 13 x 2) int32 count tensor
 // for one chromosome — the hot np.add.at/repeat expansion of
 // pileup._dense_from_runs done in one C pass. Threads split the
