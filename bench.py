@@ -267,20 +267,22 @@ from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 best = 0.0
 with ThreadPoolExecutor(max_workers=1) as ex:
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         futs = deque()
         for reads in batches:
             handle = al.align_batch_async(reads)
-            futs.append(ex.submit(al.finish_batch, handle))
+            # native bulk SAM text emit (byte-identical to the object
+            # path; finish_batch_lines falls back automatically)
+            futs.append(ex.submit(al.finish_batch_lines, handle))
             while len(futs) > 2:
                 futs.popleft().result()
         while futs:
             futs.popleft().result()
         best = max(best, len(batches) * B / (time.perf_counter() - t0))
 out = {"reads_per_s_1chip": round(best),
-       "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM, "
-                       "3-stage prep/device/assemble pipeline"}
+       "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM "
+                       "text, 3-stage prep/device/assemble pipeline"}
 
 # graph engine: variant graph of a 200 kb genome, reads along its paths
 from gonomics_tpu.graph import variant_graph
@@ -312,6 +314,8 @@ def graph_reads(seed):
     return reads
 
 aligner.align_batch(graph_reads(0))  # warm-up/compile
+aligner.align_batch(graph_reads(3))  # second warm-up: sticky DP-shape
+# buckets settle (chunked job counts + 64-bucketed length dims)
 best = 0.0
 for s in (1, 2):
     t0 = time.perf_counter()
@@ -571,6 +575,20 @@ def main() -> None:
     out.update(stage_trace())
     out.update(stage_lowmem())
     out.update(stage_reads())
+    # gsw reads/s denominator (BASELINE.md measurement plan item 2):
+    # single-thread C++ seed-and-extend with full traceback DPs, the
+    # reference gsw hot-path class (genomeGraph/genomeGraph_test.go:57)
+    try:
+        exe = _build("gsw_baseline")
+        r = subprocess.run([exe, "1000000", "8192", "150"], check=True,
+                           capture_output=True, text=True, timeout=300)
+        base_rps = float(r.stdout.split()[0])
+        out["reads_baseline_per_s"] = round(base_rps)
+        if out.get("reads_per_s_1chip"):
+            out["reads_vs_baseline"] = round(
+                out["reads_per_s_1chip"] / base_rps, 2)
+    except Exception as e:  # noqa: BLE001
+        out["reads_baseline_error"] = str(e)[-200:]
     out.update(stage_genome_scale())
     out.update(stage_fa_find_fast())
     out.update(stage_call_variants())

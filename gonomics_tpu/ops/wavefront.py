@@ -482,7 +482,26 @@ def local_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
 
     init = (i_end, j_end, score > 0)
     (i0, j0, _), ops = jax.lax.scan(step, init, None, length=D)
-    return score, i_end, j_end, i0, j0, ops.T  # ops -> (B, D)
+    # pack the backward-walk ops 4-per-byte (codes 0=M, 1=ref-gap,
+    # 2=read-gap, 3=stop): the (B, D) int8 walk was the dominant
+    # device->host transfer of the read-aligner emit path (~700 KB per
+    # 2048-batch through the tunnel); unpack with unpack_ops()
+    opsT = jnp.minimum(ops.T, 3).astype(jnp.int32)  # (B, D)
+    Dp = -(-D // 4) * 4
+    opsT = jnp.pad(opsT, ((0, 0), (0, Dp - D)), constant_values=3)
+    packed = (opsT.reshape(B, Dp // 4, 4)
+              * jnp.asarray([1, 4, 16, 64], jnp.int32)).sum(
+                  axis=-1).astype(jnp.uint8)
+    return score, i_end, j_end, i0, j0, packed
+
+
+def unpack_ops(packed: "np.ndarray", D: int) -> "np.ndarray":
+    """Decode local_align_full's 2-bit packed walk ops to (B, D) int8
+    (code 3 = stop; callers treat >= 3 as the walk end)."""
+    import numpy as np
+
+    crumbs = (packed[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3
+    return crumbs.reshape(packed.shape[0], -1)[:, :D].astype(np.int8)
 
 
 def _shift_chunked(x):

@@ -316,8 +316,18 @@ class TpuReadAligner:
                                            self._shard_ps, qhi, qlo)
             return (np.asarray(jax.device_get(hp)).astype(np.int64),
                     np.asarray(jax.device_get(valid)))
-        lo = np.searchsorted(self.idx_codes, codes.ravel(), side="left")
-        hi = np.searchsorted(self.idx_codes, codes.ravel(), side="right")
+        # sort the queries first: successive binary searches then land in
+        # nearby table regions, which roughly halves the cache-miss cost
+        # of probing the multi-GB table
+        q = codes.ravel()
+        order = np.argsort(q, kind="stable")
+        qs = q[order]
+        lo_s = np.searchsorted(self.idx_codes, qs, side="left")
+        hi_s = np.searchsorted(self.idx_codes, qs, side="right")
+        lo = np.empty_like(lo_s)
+        hi = np.empty_like(hi_s)
+        lo[order] = lo_s
+        hi[order] = hi_s
         lo = lo.reshape(B, K)
         hi = np.minimum(hi.reshape(B, K), lo + H)
         take = lo[:, :, None] + np.arange(H)[None, None, :]  # (B, K, H)
@@ -342,22 +352,29 @@ class TpuReadAligner:
         diags = np.where(valid, diags, np.int64(-1))
         # modal diagonal per read: sort the small (K*H) candidate list
         flat = np.sort(diags.reshape(B, K * H), axis=1)
-        same = flat[:, 1:] == flat[:, :-1]
-        run = np.zeros_like(flat)
-        for j in range(1, flat.shape[1]):
-            run[:, j] = np.where(same[:, j - 1], run[:, j - 1] + 1, 0)
+        KH = flat.shape[1]
+        jj = np.arange(KH, dtype=np.int64)
+
+        def runlen(same_prev: np.ndarray) -> np.ndarray:
+            """run[:, j] = length of the streak ending at j, where
+            same_prev[:, j-1] says element j continues the streak —
+            one maximum.accumulate instead of a KH-step Python loop."""
+            chg = np.ones((B, KH), bool)
+            chg[:, 1:] = ~same_prev
+            last = np.maximum.accumulate(
+                np.where(chg, jj[None, :], 0), axis=1)
+            return jj[None, :] - last
+
+        run = runlen(flat[:, 1:] == flat[:, :-1])
         run[flat == -1] = -1
         bestj = np.argmax(run, axis=1)
         votes = run[np.arange(B), bestj] + 1
         diag = flat[np.arange(B), bestj]
         votes = np.where(diag == -1, 0, votes)
         # runner-up votes on a different diagonal (for MapQ)
-        second = np.zeros(B, np.int64)
         masked = np.where(flat == diag[:, None], -1, flat)
-        same2 = (masked[:, 1:] == masked[:, :-1]) & (masked[:, 1:] != -1)
-        run2 = np.zeros_like(flat)
-        for j in range(1, flat.shape[1]):
-            run2[:, j] = np.where(same2[:, j - 1], run2[:, j - 1] + 1, 0)
+        run2 = runlen((masked[:, 1:] == masked[:, :-1])
+                      & (masked[:, 1:] != -1))
         second = run2.max(axis=1) + 1
         second = np.where((masked != -1).any(axis=1), second, 0)
         return diag, votes, second
@@ -456,9 +473,14 @@ class TpuReadAligner:
         """Block on the device result of align_batch_async and emit SAM."""
         import jax
 
+        from .ops.wavefront import unpack_ops
+
         reads, cand, starts, lens, _seqs, res = handle
-        score, i_end, _j_end, i0, j0, ops = jax.device_get(res)
-        routes = self._routes_from_ops_batch(np.asarray(ops[:len(reads)]))
+        score, i_end, _j_end, i0, j0, packed = jax.device_get(res)
+        L = _seqs.shape[1]
+        D = 2 * L + 2 * self.pad  # n + m of the device walk
+        ops = unpack_ops(np.asarray(packed[:len(reads)]), D)
+        routes = self._routes_from_ops_batch(ops)
 
         out: list[samio.Sam] = []
         for b, r in enumerate(reads):
@@ -483,10 +505,12 @@ class TpuReadAligner:
         if not native.available() or not (lens == lens[0]).all():
             return "".join(s.to_string() + "\n"
                            for s in self.finish_batch(handle))
-        score, i_end, _j, i0, j0, ops = (np.asarray(x)
-                                         for x in jax.device_get(res))
+        from .ops.wavefront import unpack_ops
+
+        score, i_end, _j, i0, j0, packed = (np.asarray(x)
+                                            for x in jax.device_get(res))
         score, i_end, i0, j0 = (x[:B] for x in (score, i_end, i0, j0))
-        ops = ops[:B]
+        ops = unpack_ops(packed[:B], 2 * read_seqs.shape[1] + 2 * self.pad)
 
         mapped = (score >= self.min_score) & (cand.votes > 0)
         cig_off, cig_cnt, run_lens, run_ops, mapped = \
