@@ -98,7 +98,7 @@ fin0 = np.full((B0, 1), 2 * L0, np.int32)
 res0 = np.asarray(jax.device_get(wavefront_align(
     jnp.asarray(a0), jnp.asarray(b0), jnp.asarray(fin0), HUMAN_CHIMP_TWO,
     n=L0, m=L0, gap_open=-600, gap_extend=-150, with_trace=False,
-    mode="affine")))
+    mode="affine", prof16=True)))
 for b in range(B0):
     want, _ = oracle.affine_gap(a0[b], b0[b], HUMAN_CHIMP_TWO, -600, -150)
     assert res0[b, L0] == want, (b, int(res0[b, L0]), want)
@@ -123,7 +123,7 @@ def g(x):
     a = a1 if x is None else jnp.bitwise_and(a1 + x[:, :L].astype(jnp.int8), 3)
     return wavefront_align(a, b1, fin, HUMAN_CHIMP_TWO, n=L, m=L,
                            gap_open=-600, gap_extend=-150,
-                           with_trace=False, mode="affine")
+                           with_trace=False, mode="affine", prof16=True)
 
 rate, dt = chain_rate(g, lambda r: r, B * L * L, 2, 16)
 out = {"score_gcups": round(rate / 1e9, 2),
@@ -181,7 +181,7 @@ def f(x):
     a = alpha if x is None else jnp.bitwise_and(alpha + x[:, :L].astype(jnp.int8), 3)
     r = wavefront_align(a, beta, fin, HUMAN_CHIMP_TWO,
                         n=L, m=L, gap_open=-600, gap_extend=-150,
-                        with_trace=True, mode="affine")
+                        with_trace=True, mode="affine", prof16=True)
     return r[0]
 
 rate, _ = chain_rate(f, lambda r: r, B * L * L, 2, 8)

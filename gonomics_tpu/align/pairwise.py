@@ -145,10 +145,12 @@ def affine_gap_batch(pairs, scores, gap_open: int, gap_extend: int,
     interpret = backend == "interpret"
     alpha, beta, fin, ns, n, m = _pad_batch(pairs)
     if with_cigar:
+        from ..ops.wavefront import profile_fits16
+
         rm, ri, rd, trace = wavefront_align(
             alpha, beta, fin, scores, n=n, m=m, gap_open=gap_open,
             gap_extend=gap_extend, with_trace=True, mode="affine",
-            interpret=interpret)
+            interpret=interpret, prof16=profile_fits16(scores))
         rm, ri, rd = np.asarray(rm), np.asarray(ri), np.asarray(rd)
         trace = np.asarray(trace)
         out = []
@@ -159,10 +161,12 @@ def affine_gap_batch(pairs, scores, gap_open: int, gap_extend: int,
             score = (fm, fi, fd)[k0]
             out.append((score, _walk_affine(trace, b, nb, mb, k0)))
         return out
+    from ..ops.wavefront import profile_fits16
+
     res = np.asarray(wavefront_align(
         alpha, beta, fin, scores, n=n, m=m, gap_open=gap_open,
         gap_extend=gap_extend, with_trace=False, mode="affine",
-        interpret=interpret))
+        interpret=interpret, prof16=profile_fits16(scores)))
     return [(int(res[b, len(a)]), None) for b, (a, _) in enumerate(pairs)]
 
 

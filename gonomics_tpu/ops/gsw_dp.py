@@ -97,14 +97,17 @@ def _routes_walk_order(ops: np.ndarray) -> list[list[CigarOp]]:
     return routes
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret"))
-def _left_full(al, be, nv, mv, scores, *, n, m, gap, interpret):
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret",
+                                             "prof16"))
+def _left_full(al, be, nv, mv, scores, *, n, m, gap, interpret,
+               prof16=False):
     """LeftDynamicAln DP + corner score + walk, all in ONE dispatch
     (host-side finishing paid a tunnel round-trip per device fetch)."""
     S = _round_up(n + 1, 128)
     bv, bd, trace, corner = wavefront_local(
         al, be, nv, mv, scores, n=n, m=m, gap=gap,
-        with_trace=True, with_corner=True, interpret=interpret)
+        with_trace=True, with_corner=True, interpret=interpret,
+        prof16=prof16)
     la = nv[:, 0]
     lb = mv[:, 0]
     score = jnp.take_along_axis(corner, jnp.clip(la, 0, S - 1)[:, None],
@@ -113,8 +116,10 @@ def _left_full(al, be, nv, mv, scores, *, n, m, gap, interpret):
     return score, i0, j0, ops
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret"))
-def _right_full(al, be, nv, mv, scores, *, n, m, gap, interpret):
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret",
+                                             "prof16"))
+def _right_full(al, be, nv, mv, scores, *, n, m, gap, interpret,
+                prof16=False):
     """RightDynamicAln DP + row-major-first best cell + walk to origin,
     one dispatch. Best-cell rule: per-lane strict > kept the smallest
     diagonal; argmax over lanes keeps the smallest i; all-nonpositive
@@ -122,7 +127,8 @@ def _right_full(al, be, nv, mv, scores, *, n, m, gap, interpret):
     S = _round_up(n + 1, 128)
     bv, bd, trace = wavefront_gsw_right(al, be, nv, mv, scores,
                                         n=n, m=m, gap=gap,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        prof16=prof16)
     max_i = jnp.argmax(bv, axis=1).astype(jnp.int32)
     max_v = jnp.take_along_axis(bv, max_i[:, None], axis=1)[:, 0]
     max_j = (jnp.take_along_axis(bd, max_i[:, None], axis=1)[:, 0]
@@ -169,9 +175,12 @@ class GswDpBatch:
 
     def __init__(self, scores: np.ndarray, gap: int = -600, *,
                  interpret: bool = False):
+        from .wavefront import profile_fits16
+
         self.scores = np.asarray(scores, np.int64)
         self.gap = gap
         self.interpret = interpret
+        self._prof16 = profile_fits16(self.scores)
         self._dims = {"left": [64, 64], "right": [64, 64]}  # sticky n, m
 
     @staticmethod
@@ -196,7 +205,7 @@ class GswDpBatch:
             al, be, nv, mv = _pad_jobs(chunk, n, m)
             res = fn(jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
                      jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
-                     interpret=self.interpret)
+                     interpret=self.interpret, prof16=self._prof16)
             handles.append((res, used))
         return handles
 

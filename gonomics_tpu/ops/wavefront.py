@@ -84,10 +84,11 @@ def _beta_codes(br_ref, d, m_pad: int, s_size: int, S: int):
 
 def _select_score(be, q0, q1, q2, q3, q4):
     # balanced select tree: depth 2/3 instead of a 4-deep chain, so the
-    # VPU can evaluate the two halves in parallel
+    # VPU can evaluate the two halves in parallel; profiles may be int16
+    # (profile_fits16), so widen after selecting
     lo = jnp.where(be == 0, q0[...], q1[...])
     hi = jnp.where(be == 2, q2[...], jnp.where(be == 3, q3[...], q4[...]))
-    return jnp.where(be < 2, lo, hi)
+    return jnp.where(be < 2, lo, hi).astype(jnp.int32)
 
 
 def _affine_kernel(fin_ref, br_ref, q0, q1, q2, q3, q4, *rest,
@@ -341,14 +342,17 @@ def _gsw_right_kernel(nvec_ref, mvec_ref, br_ref, q0, q1, q2, q3, q4,
     bv_ref[...] = jnp.where(upd, c_new, bv_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret",
+                                             "prof16"))
 def wavefront_gsw_right(alpha_pad, beta_pad, n_vec, m_vec, scores, *,
-                        n: int, m: int, gap: int, interpret: bool = False):
+                        n: int, m: int, gap: int, interpret: bool = False,
+                        prof16: bool = False):
     """Batched RightDynamicAln DP. Returns (best_val, best_d, trace):
     best_val/best_d (B, S) over real cells only, trace (n+m, B, S)."""
     B = alpha_pad.shape[0]
     S = _round_up(n + 1, 128)
-    profiles, br = _build_inputs(alpha_pad, beta_pad, scores, S, m)
+    profiles, br = _build_inputs(alpha_pad, beta_pad, scores, S, m,
+                                 prof16=prof16)
     d_total = n + m
 
     def vspec():
@@ -375,13 +379,24 @@ def wavefront_gsw_right(alpha_pad, beta_pad, n_vec, m_vec, scores, *,
     )(n_vec, m_vec, br, *profiles)
 
 
-def _build_inputs(alpha_pad, beta_pad, scores, s_size: int, m_pad: int):
+def profile_fits16(scores) -> bool:
+    """True when the score matrix fits int16 profiles (half the VMEM of
+    the kernels' biggest input; ~5-15% measured). False for tracers, so
+    nested-jit callers safely fall back to int32."""
+    try:
+        return bool(np.abs(np.asarray(scores)).max() < 32000)
+    except Exception:  # noqa: BLE001 — tracer or odd input
+        return False
+
+
+def _build_inputs(alpha_pad, beta_pad, scores, s_size: int, m_pad: int,
+                  prof16: bool = False):
     """Alpha profiles Q_a[b, s] = scores[a, alpha[b, s-1]] (static in the
     kernel) and the reversed-beta code array br_pad, padded with S lanes on
     the left so the per-diagonal window offset m_pad - d + S stays >= 0 and
     with S+256 on the right for the aligned over-read."""
     B = alpha_pad.shape[0]
-    sc = jnp.asarray(scores, jnp.int32)
+    sc = jnp.asarray(scores, jnp.int16 if prof16 else jnp.int32)
     al = jnp.full((B, s_size), 4, jnp.int8)
     al = jax.lax.dynamic_update_slice(al, alpha_pad, (0, 1))
     idx = jnp.clip(al.astype(jnp.int32), 0, 4)
@@ -395,10 +410,11 @@ def _build_inputs(alpha_pad, beta_pad, scores, s_size: int, m_pad: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "m", "gap", "with_trace", "with_corner", "interpret"))
+    "n", "m", "gap", "with_trace", "with_corner", "interpret", "prof16"))
 def wavefront_local(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
                     m: int, gap: int, with_trace: bool = True,
-                    with_corner: bool = False, interpret: bool = False):
+                    with_corner: bool = False, interpret: bool = False,
+                    prof16: bool = False):
     """Batched Smith-Waterman over (read, window) pairs.
 
     alpha_pad: (B, n) int8 read codes, beta_pad: (B, m) int8 window codes,
@@ -408,7 +424,8 @@ def wavefront_local(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
     """
     B = alpha_pad.shape[0]
     S = _round_up(n + 1, 128)
-    profiles, br = _build_inputs(alpha_pad, beta_pad, scores, S, m)
+    profiles, br = _build_inputs(alpha_pad, beta_pad, scores, S, m,
+                                 prof16=prof16)
     d_total = n + m
 
     def vspec():
@@ -445,9 +462,192 @@ def wavefront_local(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
     )(n_vec, m_vec, br, *profiles)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret"))
+def _affine_block_kernel(fin_ref, br_ref, bound0_ref, bm_ref, bi_ref,
+                         bd_ref, q0, q1, q2, q3, q4, res_ref,
+                         om_ref, oi_ref, od_ref,
+                         mbuf, ibuf, dbuf, cm, ci, cd, *, r_rows: int,
+                         m_pad: int, go: int, ge: int, s_size: int,
+                         k_off: int):
+    """One row-block of the blocked affine score wavefront.
+
+    Lanes s = 0..r_rows map to global rows k_off + s. Lane 0 carries the
+    boundary row from the previous block: per step, column d of the
+    (B, Mp) boundary tensors is pulled to lane 0 with the same aligned-
+    load + lane-rotate pattern as the beta window (the only dynamic-lane
+    access pattern measured fast on this hardware). Lane r_rows — the
+    next block's boundary — is inserted into a 128-lane capture ring and
+    flushed to the (B, Mp) outputs every 128 steps at affine offsets.
+    Lane counts stay in the S <= 640 regime, where the wavefront runs
+    ~3.5x faster per lane than a single S = 1152 sweep (the measured
+    per-step knee; PERF_NOTES round 4)."""
+    d = pl.program_id(0) + 1
+    B, S = q0.shape
+    go_ = jnp.int32(go)
+    ge_ = jnp.int32(ge)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), dimension=1)
+
+    @pl.when(d == 1)
+    def _init():
+        at0 = s_idx == 0
+        mbuf[0] = jnp.where(at0, bound0_ref[0][:, None], NEG)
+        ibuf[0] = jnp.where(at0, bound0_ref[1][:, None], NEG)
+        dbuf[0] = jnp.where(at0, bound0_ref[2][:, None], NEG)
+        mbuf[1] = jnp.full((B, S), NEG, jnp.int32)
+        ibuf[1] = jnp.full((B, S), NEG, jnp.int32)
+        dbuf[1] = jnp.full((B, S), NEG, jnp.int32)
+        res_ref[...] = jnp.full((B, S), NEG, jnp.int32)
+
+    cur = jax.lax.rem(d, 2)
+    prv = 1 - cur
+    m1, i1, d1 = mbuf[prv], ibuf[prv], dbuf[prv]
+    m2, i2, d2 = mbuf[cur], ibuf[cur], dbuf[cur]
+
+    be = _beta_codes(br_ref, d, m_pad, s_size, S)
+    sc = _select_score(be, q0, q1, q2, q3, q4).astype(jnp.int32)
+
+    m_new = sc + _shift(_max3(m2, i2, d2))
+    i_new = _max3(go_ + ge_ + m1, ge_ + i1, go_ + ge_ + d1)
+    d_new = _shift(jnp.maximum(go_ + ge_ + jnp.maximum(m1, i1), ge_ + d1))
+
+    interior = (s_idx >= jnp.maximum(1, d - m_pad)) & \
+               (s_idx <= jnp.minimum(d - 1, r_rows))
+    col0 = (s_idx == d) & (d <= r_rows)  # cell (k_off + d, 0)
+    bnd_col = go_ + ge_ * (k_off + s_idx)
+    m_new = jnp.where(interior, m_new, NEG)
+    i_new = jnp.where(interior, i_new, NEG)
+    d_new = jnp.where(interior, d_new, jnp.where(col0, bnd_col, NEG))
+
+    # lane 0 := boundary row at column j = d: aligned 256-lane window
+    # load + rotate pulls tensor index d-1 to lane 0 (cols > m are NEG)
+    off = jnp.minimum(d, m_pad) - 1
+    off_al = pl.multiple_of((off // 128) * 128, 128)
+    r = off - off_al
+    rot = jax.lax.rem(256 - r, 256)
+    past = d > m_pad
+    at0 = s_idx == 0
+
+    def pull(ref):
+        win = pltpu.roll(ref[:, pl.ds(off_al, 256)], rot, axis=1)
+        return win[:, :1]
+
+    m_new = jnp.where(at0, jnp.where(past, NEG, pull(bm_ref)), m_new)
+    i_new = jnp.where(at0, jnp.where(past, NEG, pull(bi_ref)), i_new)
+    d_new = jnp.where(at0, jnp.where(past, NEG, pull(bd_ref)), d_new)
+
+    mbuf[cur] = m_new
+    ibuf[cur] = i_new
+    dbuf[cur] = d_new
+
+    # capture lane r_rows (cell ((k+1)R, j = d - r_rows)) into the ring
+    lane_r = jax.lax.slice_in_dim
+    widx = jnp.maximum(d - r_rows - 1, 0)
+    wsel = jax.lax.rem(widx, 128)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), dimension=1)
+    ins = l128 == wsel
+    cm[...] = jnp.where(ins, lane_r(m_new, r_rows, r_rows + 1, axis=1),
+                        cm[...])
+    ci[...] = jnp.where(ins, lane_r(i_new, r_rows, r_rows + 1, axis=1),
+                        ci[...])
+    cd[...] = jnp.where(ins, lane_r(d_new, r_rows, r_rows + 1, axis=1),
+                        cd[...])
+
+    @pl.when((d > r_rows) & ((wsel == 127) | (d == r_rows + m_pad)))
+    def _flush():
+        base = pl.multiple_of((widx // 128) * 128, 128)
+        om_ref[:, pl.ds(base, 128)] = cm[...]
+        oi_ref[:, pl.ds(base, 128)] = ci[...]
+        od_ref[:, pl.ds(base, 128)] = cd[...]
+
+    fin = fin_ref[...] == d
+    res_ref[...] = jnp.where(fin, _max3(m_new, i_new, d_new), res_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap_open",
+                                             "gap_extend", "r_rows",
+                                             "interpret", "prof16"))
+def wavefront_align_blocked(alpha_pad, beta_pad, fin_d, scores, *, n: int,
+                            m: int, gap_open: int, gap_extend: int,
+                            r_rows: int = 512, interpret: bool = False,
+                            prof16: bool = False):
+    """Score-mode affine wavefront in row blocks of r_rows lanes.
+
+    Same score contract as wavefront_align(..., with_trace=False,
+    mode="affine"), but the sweep runs as ceil(n / r_rows) chained
+    kernels of S = r_rows + 1 lanes instead of one S = n + 1 sweep;
+    boundary rows flow between blocks on device. Returns res stacked per
+    block (nb, B, S_blk); pair b's score lives at block
+    (n_b - 1) // r_rows, lane n_b - k * r_rows, at its fin diagonal.
+    """
+    B = alpha_pad.shape[0]
+    nb = -(-n // r_rows)
+    S = _round_up(r_rows + 1, 128)
+    d_total = r_rows + m
+    Mp = _round_up(m, 128) + 256
+
+    def vspec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    # block 0 boundary = DP row 0: col 0 is (M=0, I=go, D=go), cols
+    # 1..m are (NEG, go + ge*j, NEG); bx[:, j-1] = state at col j
+    cols = jnp.arange(Mp, dtype=jnp.int32) + 1
+    i_row = jnp.where(cols <= m,
+                      jnp.int32(gap_open) + jnp.int32(gap_extend) * cols,
+                      NEG)
+    neg_row = jnp.full((B, Mp), NEG, jnp.int32)
+    bm = neg_row
+    bi = jnp.broadcast_to(i_row[None, :], (B, Mp))
+    bd = neg_row
+    bound0 = jnp.stack([jnp.zeros((B,), jnp.int32),
+                        jnp.full((B,), gap_open, jnp.int32),
+                        jnp.full((B,), gap_open, jnp.int32)])
+
+    results = []
+    for k in range(nb):
+        k_off = k * r_rows
+        a_blk = alpha_pad[:, k_off:min(n, k_off + r_rows)]
+        if a_blk.shape[1] < r_rows:
+            a_blk = jnp.concatenate(
+                [a_blk, jnp.full((B, r_rows - a_blk.shape[1]), 4,
+                                 jnp.int8)], axis=1)
+        profiles, br = _build_inputs(a_blk, beta_pad, scores, S, m,
+                                     prof16=prof16)
+        fin_local = fin_d - k_off
+        kern = functools.partial(_affine_block_kernel, r_rows=r_rows,
+                                 m_pad=m, go=gap_open, ge=gap_extend,
+                                 s_size=S, k_off=k_off)
+        out_bx = jax.ShapeDtypeStruct((B, Mp), jnp.int32)
+        res, om, oi, od = pl.pallas_call(
+            kern,
+            grid=(d_total,),
+            in_specs=[vspec()] * 11,
+            out_specs=(vspec(),) * 4,
+            out_shape=(jax.ShapeDtypeStruct((B, S), jnp.int32),
+                       out_bx, out_bx, out_bx),
+            scratch_shapes=[pltpu.VMEM((2, B, S), jnp.int32)
+                            for _ in range(3)]
+            + [pltpu.VMEM((B, 128), jnp.int32) for _ in range(3)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(fin_local, br, bound0, bm, bi, bd, *profiles)
+        results.append(res)
+        if k + 1 < nb:
+            bm, bi, bd = om, oi, od
+            bound0 = jnp.stack(
+                [jnp.full((B,), NEG, jnp.int32),
+                 jnp.full((B,), NEG, jnp.int32),
+                 jnp.full((B,), gap_open + gap_extend * (k_off + r_rows),
+                          jnp.int32)])  # cell ((k+1)R, 0)
+    return jnp.stack(results)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret",
+                                             "prof16"))
 def local_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
-                     m: int, gap: int, interpret: bool = False):
+                     m: int, gap: int, interpret: bool = False,
+                     prof16: bool = False):
     """Batched local alignment with ON-DEVICE traceback.
 
     Runs the wavefront kernel, finds each pair's best cell, then walks the
@@ -459,7 +659,8 @@ def local_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *, n: int,
     """
     bv, bd, trace = wavefront_local(alpha_pad, beta_pad, n_vec, m_vec,
                                     scores, n=n, m=m, gap=gap,
-                                    with_trace=True, interpret=interpret)
+                                    with_trace=True, interpret=interpret,
+                                    prof16=prof16)
     B, S = bv.shape
     D = n + m
     score = jnp.max(bv, axis=1)
@@ -1126,10 +1327,12 @@ def wavefront_affine_stream(alpha, beta, scores, *, n: int, m: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "m", "gap_open", "gap_extend", "with_trace", "mode", "interpret"))
+    "n", "m", "gap_open", "gap_extend", "with_trace", "mode", "interpret",
+    "prof16"))
 def wavefront_align(alpha_pad, beta_pad, fin_d, scores, *, n: int, m: int,
                     gap_open: int, gap_extend: int, with_trace: bool,
-                    mode: str = "affine", interpret: bool = False):
+                    mode: str = "affine", interpret: bool = False,
+                    prof16: bool = False):
     """Run the wavefront DP over a batch of padded pairs.
 
     alpha_pad: (B, n) int8 codes (0..4), beta_pad: (B, m) int8,
@@ -1139,7 +1342,8 @@ def wavefront_align(alpha_pad, beta_pad, fin_d, scores, *, n: int, m: int,
     """
     B = alpha_pad.shape[0]
     S = _round_up(n + 1, 128)
-    profiles, br = _build_inputs(alpha_pad, beta_pad, scores, S, m)
+    profiles, br = _build_inputs(alpha_pad, beta_pad, scores, S, m,
+                                 prof16=prof16)
 
     d_total = n + m
     grid = (d_total,)

@@ -68,11 +68,15 @@ def pipeline_step(mesh: Mesh, *, n: int, m: int, genome_len: int,
     assert genome_len % seq_shards == 0
     span = genome_len // seq_shards
 
+    from ..ops.wavefront import profile_fits16
+
+    p16 = profile_fits16(scores)
+
     def local_step(alpha, beta, fin, pos, base, valid):
         res = wavefront_align(alpha, beta, fin, scores, n=n, m=m,
                               gap_open=gap_open, gap_extend=gap_extend,
                               with_trace=False, mode="affine",
-                              interpret=interpret)
+                              interpret=interpret, prof16=p16)
         seq_idx = jax.lax.axis_index("seq")
         lo = seq_idx * span
         counts = _pileup_counts_local(pos, base, valid, lo, span, n_base)
@@ -120,13 +124,14 @@ def shard_local_align(mesh: Mesh, scores, *, n: int, m: int, gap: int,
     SAM emission is deterministic regardless of the mesh (the canonical
     (batch, read-id) merge order of SURVEY.md P3). Batch size must be a
     multiple of 8 * mesh.shape["data"]."""
-    from ..ops.wavefront import local_align_full
+    from ..ops.wavefront import local_align_full, profile_fits16
 
     sc = np.asarray(scores)
+    p16 = profile_fits16(sc)
 
     def local(alpha, beta, nv, mv):
         return local_align_full(alpha, beta, nv, mv, sc, n=n, m=m,
-                                gap=gap, interpret=interpret)
+                                gap=gap, interpret=interpret, prof16=p16)
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,

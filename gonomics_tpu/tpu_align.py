@@ -463,10 +463,13 @@ class TpuReadAligner:
             res = fn(jnp.asarray(read_seqs), jnp.asarray(windows),
                      jnp.asarray(n_vec), jnp.asarray(m_vec))
         else:
+            from .ops.wavefront import profile_fits16
+
             res = local_align_full(
                 jnp.asarray(read_seqs), jnp.asarray(windows),
                 jnp.asarray(n_vec), jnp.asarray(m_vec), self.scores,
-                n=L, m=W, gap=self.gap, interpret=self.interpret)
+                n=L, m=W, gap=self.gap, interpret=self.interpret,
+                prof16=profile_fits16(self.scores))
         return reads, cand, starts, lens, read_seqs, res
 
     def finish_batch(self, handle) -> list[samio.Sam]:
