@@ -422,6 +422,38 @@ def stage_fa_find_fast() -> dict:
         return {"fafindfast_error": str(e)[-300:]}
 
 
+def stage_compress() -> dict:
+    """Write-path compression: native parallel block gzip (pgzip-class,
+    fileio.easy_create / BGZF writer) vs single-thread stdlib zlib."""
+    try:
+        import gzip as _gz
+
+        import numpy as np
+
+        from gonomics_tpu import native
+
+        data = np.random.default_rng(0).integers(
+            33, 120, 40_000_000).astype(np.uint8).tobytes()
+        native.compress_blocks(data[:1 << 20], bgzf=False)  # warm pool
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            comp = native.compress_blocks(data, bgzf=False)
+            best = max(best, 40.0 / (time.perf_counter() - t0))
+        if comp is None:
+            return {"compress_error": "native lib unavailable"}
+        t0 = time.perf_counter()
+        _gz.compress(data, compresslevel=6)
+        base = 40.0 / (time.perf_counter() - t0)
+        return {"compress_write_mb_s": round(best, 1),
+                "compress_baseline_mb_s": round(base, 1),
+                "compress_vs_baseline": round(best / base, 2),
+                "compress_config": "40 MB text, level 6, multi-member "
+                                   "gzip blocks across all cores"}
+    except Exception as e:  # noqa: BLE001
+        return {"compress_error": str(e)[-300:]}
+
+
 def stage_call_variants() -> dict:
     """pileup+callVariants sites/s (BASELINE cfg 5): simulateSam reads at
     ~25x over 200 kb, tumor/normal -> VCF, vs the C++ pileup+Fisher
@@ -592,6 +624,7 @@ def main() -> None:
     out.update(stage_genome_scale())
     out.update(stage_fa_find_fast())
     out.update(stage_call_variants())
+    out.update(stage_compress())
     out["multichip"] = stage_multichip()
     print(json.dumps(out))
 

@@ -73,12 +73,63 @@ def cat_url(url: str) -> str:
         return "".join(ln if ln.endswith("\n") else ln + "\n" for ln in f)
 
 
+class ParallelGzipFile(io.RawIOBase):
+    """Write-only gzip sink that compresses 1 MiB blocks across threads
+    through native compress_blocks (the pgzip-parallel analog of
+    fileio/easyio.go:42); output is a standard multi-member gzip stream.
+    Buffers ~8 MiB of uncompressed bytes per flush so the thread pool
+    has enough independent blocks to chew on."""
+
+    FLUSH_AT = 8 << 20
+
+    def __init__(self, filename: str):
+        super().__init__()
+        self._fh = open(filename, "wb")
+        self._buf: list[bytes] = []
+        self._size = 0
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, b) -> int:
+        b = bytes(b)
+        self._buf.append(b)
+        self._size += len(b)
+        if self._size >= self.FLUSH_AT:
+            self._flush_blocks()
+        return len(b)
+
+    def _flush_blocks(self) -> None:
+        if not self._size:
+            return
+        from . import native
+
+        data = b"".join(self._buf)
+        self._buf = []
+        self._size = 0
+        comp = native.compress_blocks(data, bgzf=False)
+        if comp is None:  # no native lib: stdlib fallback
+            comp = gzip.compress(data, compresslevel=6)
+        self._fh.write(comp)
+
+    def close(self) -> None:
+        if not self.closed:
+            try:
+                self._flush_blocks()
+                self._fh.close()
+            finally:
+                super().close()
+
+
 def easy_create(filename: str) -> IO[str]:
-    """Open for writing; gzip-compress when name ends in .gz (easyio.go:67)."""
+    """Open for writing; gzip-compress when name ends in .gz — block-
+    parallel across threads via the native runtime (easyio.go:67 wraps
+    every writer in pgzip the same way)."""
     if filename == "-" or filename == "/dev/stdout":
         return sys.stdout
     if filename.endswith(".gz"):
-        return io.TextIOWrapper(gzip.open(filename, "wb"), encoding="utf-8")
+        return io.TextIOWrapper(io.BufferedWriter(ParallelGzipFile(filename)),
+                                encoding="utf-8")
     return open(filename, "w", encoding="utf-8")
 
 

@@ -54,20 +54,39 @@ def _bgzf_block(payload: bytes) -> bytes:
 
 
 class BgzfWriter:
+    """BGZF block writer; blocks compress in parallel across threads via
+    the native runtime (bgzf/writer.go:46-139's worker pool), falling
+    back to sequential zlib without it. Buffers several MiB so each
+    flush hands the pool many independent blocks."""
+
+    FLUSH_AT = 64 * _MAX_BLOCK
+
     def __init__(self, fh: IO[bytes]):
         self.fh = fh
         self.buf = bytearray()
 
+    def _flush(self, everything: bool) -> None:
+        from .. import native
+
+        keep = 0 if everything else len(self.buf) % _MAX_BLOCK
+        chunk = bytes(self.buf[:len(self.buf) - keep])
+        if not chunk:
+            return
+        del self.buf[:len(chunk)]
+        comp = native.compress_blocks(chunk, bgzf=True)
+        if comp is not None:
+            self.fh.write(comp)
+            return
+        for off in range(0, len(chunk), _MAX_BLOCK):
+            self.fh.write(_bgzf_block(chunk[off:off + _MAX_BLOCK]))
+
     def write(self, data: bytes) -> None:
         self.buf.extend(data)
-        while len(self.buf) >= _MAX_BLOCK:
-            self.fh.write(_bgzf_block(bytes(self.buf[:_MAX_BLOCK])))
-            del self.buf[:_MAX_BLOCK]
+        if len(self.buf) >= self.FLUSH_AT:
+            self._flush(everything=False)
 
     def close(self) -> None:
-        if self.buf:
-            self.fh.write(_bgzf_block(bytes(self.buf)))
-            self.buf.clear()
+        self._flush(everything=True)
         self.fh.write(BGZF_EOF)
 
 

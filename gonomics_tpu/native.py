@@ -64,6 +64,11 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p]
+            lib.compress_blocks.restype = ctypes.c_int64
+            lib.compress_blocks.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32]
             lib.fa_find_windows.restype = ctypes.c_int64
             lib.fa_find_windows.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -210,6 +215,25 @@ def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
     if wrote < 0:
         return None
     return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def compress_blocks(data: bytes, *, bgzf: bool, level: int = 6,
+                    nthreads: int | None = None) -> bytes | None:
+    """Parallel block compression (pgzip/bgzf-writer class): BGZF members
+    (bgzf=True) or multi-member gzip. None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads is None:
+        nthreads = os.cpu_count() or 2
+    n = len(data)
+    cap = n + n // 2 + 65536
+    out = np.empty(cap, np.uint8)
+    wrote = lib.compress_blocks(data, n, out.ctypes.data_as(ctypes.c_void_p),
+                                cap, nthreads, level, 1 if bgzf else 0)
+    if wrote < 0:
+        return None
+    return out[:int(wrote)].tobytes()
 
 
 def fa_find_windows(ref, fq, sq, window: int, remove_n: bool,

@@ -284,6 +284,167 @@ def example_step_inputs(mesh: Mesh, *, B: int, n: int, m: int,
                  for x in (alpha, beta, fin, pos, base, valid))
 
 
+def shard_seq_affine_align(mesh: Mesh, scores, *, n: int, m: int,
+                           gap_open: int, gap_extend: int,
+                           checkersize: int = 2048,
+                           interpret: bool = False):
+    """Sequence-parallel affine alignment WITH full traceback — the
+    multi-chip chromosome path (SURVEY.md §5 long-context design,
+    VERDICT r3 item 6; reference scheme align/affineGap.go:20-54,
+    219-273).
+
+    Forward: the O(n*m) wavefront runs lane-sharded over the "seq" mesh
+    axis (same one-(B,2)-halo-ppermute-per-diagonal recurrence as
+    shard_seq_affine_score), snapshotting the two-diagonal state every
+    `checkersize` diagonals. The snapshots are exactly the lowmem
+    checkpoints, so the backward pass — per-block windowed re-fill +
+    trace walk, O(n*K) total, ~K/(n+m) of the forward work — reuses the
+    single-chip lowmem machinery unchanged and the stitched cigar is
+    byte-exact against affine_gap_lowmem_batch.
+
+    Returns run(alphas (B, n) int8, betas (B, m) int8) -> list of
+    (score, ops, i0, j0) per pair (full-length pairs), the
+    affine_gap_lowmem_batch contract."""
+    from ..ops.wavefront import (NEG, _build_inputs, _lowmem_backward,
+                                 _round_up)
+
+    n_seq = mesh.shape["seq"]
+    S = -(-(n + 1) // n_seq) * n_seq
+    s_loc = S // n_seq
+    sc_mat = jnp.asarray(np.asarray(scores), jnp.int32)
+    go = jnp.int32(gap_open)
+    ge = jnp.int32(gap_extend)
+    d_total = n + m
+    K = int(checkersize)
+    fb = (d_total - 1) // K
+    W = 2 * S + m + 8
+    perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+
+    def block_fwd(al_loc, br_pad, d0v, state):
+        """K diagonals [d0+1, d0+K] of the sharded wavefront."""
+        B = al_loc.shape[0]
+        seq_idx = jax.lax.axis_index("seq")
+        base = seq_idx * s_loc
+        s_idx = base + jax.lax.broadcasted_iota(jnp.int32, (B, s_loc), 1)
+        codes = jnp.clip(al_loc.astype(jnp.int32), 0, 4)
+        profiles = [sc_mat[a][codes] for a in range(5)]
+
+        def shifted(x, halo):
+            return jnp.concatenate([halo[:, None], x[:, :-1]], axis=1)
+
+        def step(carry, d):
+            m1, i1, d1, m2, i2, d2, rm, ri, rd = carry
+            off = m - d + S + base
+            be = jax.lax.dynamic_slice(br_pad, (0, off), (B, s_loc))
+            be = be.astype(jnp.int32)
+            sc = jnp.where(be == 0, profiles[0],
+                 jnp.where(be == 1, profiles[1],
+                 jnp.where(be == 2, profiles[2],
+                 jnp.where(be == 3, profiles[3], profiles[4]))))
+            h2 = jnp.maximum(jnp.maximum(m2, i2), d2)
+            g1 = jnp.maximum(go + ge + jnp.maximum(m1, i1), ge + d1)
+            pack = jnp.stack([h2[:, -1], g1[:, -1]], axis=-1)
+            halo = jax.lax.ppermute(pack, "seq", perm)
+            m_new = sc + shifted(h2, halo[:, 0])
+            i_new = jnp.maximum(jnp.maximum(go + ge + m1, ge + i1),
+                                go + ge + d1)
+            d_new = shifted(g1, halo[:, 1])
+            interior = (s_idx >= jnp.maximum(1, d - m)) & \
+                       (s_idx <= jnp.minimum(d - 1, n))
+            row0 = (s_idx == 0) & (d <= m)
+            col0 = (s_idx == d) & (d <= n)
+            bnd = go + ge * d
+            m_new = jnp.where(interior, m_new, NEG)
+            i_new = jnp.where(interior, i_new, jnp.where(row0, bnd, NEG))
+            d_new = jnp.where(interior, d_new, jnp.where(col0, bnd, NEG))
+            at_fin = d == d_total
+            rm = jnp.where(at_fin, m_new, rm)
+            ri = jnp.where(at_fin, i_new, ri)
+            rd = jnp.where(at_fin, d_new, rd)
+            return (m_new, i_new, d_new, m1, i1, d1, rm, ri, rd), None
+
+        ds = d0v[0, 0] + jnp.arange(1, K + 1, dtype=jnp.int32)
+        state, _ = jax.lax.scan(step, state, ds)
+        return state
+
+    sharded_block = jax.shard_map(
+        block_fwd, mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, None), P(None, None),
+                  tuple([P(None, "seq")] * 9)),
+        out_specs=tuple([P(None, "seq")] * 9),
+        check_vma=False)
+
+    @jax.jit
+    def fwd_all(alpha_pad, beta_pad):
+        B = alpha_pad.shape[0]
+        al = jnp.full((B, S), 4, jnp.int8)
+        al = jax.lax.dynamic_update_slice(al, alpha_pad, (0, 1))
+        br = jnp.full((B, W), 4, jnp.int8)
+        br = jax.lax.dynamic_update_slice(br, beta_pad[:, ::-1], (0, S))
+        s_iota = jnp.arange(S)[None, :]
+        m0 = jnp.where(s_iota == 0, 0, NEG).astype(jnp.int32)
+        m0 = jnp.broadcast_to(m0, (B, S))
+        i0 = jnp.where(s_iota == 0, go, NEG).astype(jnp.int32)
+        i0 = jnp.broadcast_to(i0, (B, S))
+        neg = jnp.full((B, S), NEG, jnp.int32)
+        state = (m0, i0, i0, neg, neg, neg, neg, neg, neg)
+        cks = []
+        for blk in range(fb + 1):
+            cks.append(jnp.stack([jnp.stack([state[0], state[3]]),
+                                  jnp.stack([state[1], state[4]]),
+                                  jnp.stack([state[2], state[5]])]))
+            d0v = jnp.full((1, 1), blk * K, jnp.int32)
+            state = sharded_block(al, br, d0v, state)
+        # cks[blk]: (3, 2, B, S) with slot 0 = diag blk*K, 1 = blk*K - 1
+        return jnp.stack(cks), state[6], state[7], state[8]
+
+    S8 = _round_up(n + 1, 1024)
+    Wb = min(S8, _round_up(2 * K + 640, 128))
+    Wsl = K + Wb + 256
+
+    def run(alphas, betas):
+        import numpy as onp
+
+        alphas = jnp.asarray(alphas, jnp.int8)
+        betas = jnp.asarray(betas, jnp.int8)
+        B = alphas.shape[0]
+        cks, resm, resi, resd = fwd_all(alphas, betas)
+        fm = onp.asarray(resm[:, n])
+        fi = onp.asarray(resi[:, n])
+        fd = onp.asarray(resd[:, n])
+        k0 = onp.where((fm >= fi) & (fm >= fd), 0,
+                       onp.where(fi >= fd, 1, 2)).astype(onp.int32)
+        score = onp.choose(k0, [fm, fi, fd])
+
+        # repackage checkpoints into the lowmem backward's chunked
+        # layout: pad lanes S -> S8, reverse block order
+        cks = onp.asarray(cks)  # (NB, 3, 2, B, S)
+        pad = onp.full((cks.shape[0], 3, 2, B, S8 - S), NEG, onp.int32)
+        cks = onp.concatenate([cks, pad], axis=-1)
+        cks = cks[::-1].reshape(fb + 1, 3, 2, B, 8, S8 // 8)
+        profiles, br_full = _build_inputs(alphas, betas, scores, S8, m)
+        brp = jnp.pad(br_full, ((0, 0), (K, 0)), constant_values=4)
+        d0s = jnp.arange(fb, -1, -1, dtype=jnp.int32) * K
+        iv, jv, kv, ops = _lowmem_backward(
+            jnp.full(B, n, jnp.int32), jnp.full(B, m, jnp.int32),
+            jnp.asarray(k0, jnp.int32), d0s,
+            jnp.asarray(cks[:, 0]), jnp.asarray(cks[:, 1]),
+            jnp.asarray(cks[:, 2]), tuple(profiles), brp,
+            K=K, W=Wb, Wsl=Wsl, S8=S8, n=n, m=m, gap_open=gap_open,
+            gap_extend=gap_extend, interpret=interpret)
+        i_cur = onp.asarray(iv)
+        j_cur = onp.asarray(jv)
+        ops_all = onp.asarray(ops).reshape(-1, B)
+        out = []
+        for b in range(B):
+            ob = ops_all[:, b]
+            out.append((int(score[b]), ob[ob != 4], int(i_cur[b]),
+                        int(j_cur[b])))
+        return out
+
+    return run
+
+
 def shard_seq_affine_score(mesh: Mesh, scores, *, n: int, m: int,
                            gap_open: int, gap_extend: int):
     """Sequence-parallel affine-gap scoring: the anti-diagonal wavefront

@@ -119,6 +119,91 @@ int bgzf_decompress(const uint8_t* data, int64_t n, uint8_t* out,
     return 0;
 }
 
+// Parallel block compression for the WRITE path — the pgzip/bgzf-writer
+// analog of the reference's compressed outputs (fileio/easyio.go:42,
+// bgzf/writer.go:46-139). Input splits into independent blocks, each
+// deflated by a pool thread:
+//   bgzf_mode=1: BGZF members (<=0xff00 payload, BC extra field); the
+//     caller appends the 28-byte EOF block when closing the file.
+//   bgzf_mode=0: plain multi-member gzip (1 MiB blocks) — readable by
+//     zlib/zcat/python gzip, like pgzip's independent-block stream.
+// Returns bytes written, or -1 on error / insufficient out_cap.
+int64_t compress_blocks(const uint8_t* data, int64_t n, uint8_t* out,
+                        int64_t out_cap, int32_t nthreads, int32_t level,
+                        int32_t bgzf_mode) {
+    const size_t blk = bgzf_mode ? 0xff00 : (1u << 20);
+    size_t nb = n == 0 ? 1 : ((size_t)n + blk - 1) / blk;
+    std::vector<std::vector<uint8_t>> parts(nb);
+    std::vector<int> errs;
+    if (nthreads < 1) nthreads = 1;
+    errs.assign(nthreads, 0);
+    auto work = [&](int t) {
+        for (size_t i = t; i < nb; i += nthreads) {
+            size_t off = i * blk;
+            size_t len = (size_t)n - off < blk ? (size_t)n - off : blk;
+            uLong bound = compressBound(len) + 64;
+            std::vector<uint8_t> comp(bound);
+            z_stream zs{};
+            // raw deflate; gzip framing is written by hand
+            if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                             Z_DEFAULT_STRATEGY) != Z_OK) {
+                errs[t] = 1;
+                return;
+            }
+            zs.next_in = const_cast<uint8_t*>(data + off);
+            zs.avail_in = (uInt)len;
+            zs.next_out = comp.data();
+            zs.avail_out = (uInt)bound;
+            if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+                deflateEnd(&zs);
+                errs[t] = 1;
+                return;
+            }
+            size_t clen = bound - zs.avail_out;
+            deflateEnd(&zs);
+            uint32_t crc = crc32(0L, data + off, (uInt)len);
+            std::vector<uint8_t>& p = parts[i];
+            if (bgzf_mode) {
+                size_t bsize = clen + 26;  // header(18) + deflate + crc+len(8)
+                if (bsize - 1 > 0xffff) {
+                    errs[t] = 1;
+                    return;
+                }
+                const uint8_t hdr[16] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0,
+                                         0xff, 6, 0, 'B', 'C', 2, 0};
+                p.insert(p.end(), hdr, hdr + 16);
+                p.push_back((uint8_t)((bsize - 1) & 0xff));
+                p.push_back((uint8_t)((bsize - 1) >> 8));
+            } else {
+                const uint8_t hdr[10] = {0x1f, 0x8b, 8, 0, 0, 0, 0, 0, 0,
+                                        0xff};
+                p.insert(p.end(), hdr, hdr + 10);
+            }
+            p.insert(p.end(), comp.data(), comp.data() + clen);
+            uint32_t le[2] = {crc, (uint32_t)len};
+            p.insert(p.end(), (uint8_t*)le, (uint8_t*)le + 8);
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    for (int e : errs)
+        if (e) return -1;
+    int64_t total = 0;
+    for (auto& p : parts) total += (int64_t)p.size();
+    if (total > out_cap) return -1;
+    uint8_t* q = out;
+    for (auto& p : parts) {
+        std::memcpy(q, p.data(), p.size());
+        q += p.size();
+    }
+    return total;
+}
+
 // Parse FASTQ text (uncompressed) into packed arrays.
 //   seq_codes: int8 base codes (A=0,C=1,G=2,T=3,N=4; dna.py alphabet),
 //              records padded to max_len with 4.
