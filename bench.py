@@ -603,6 +603,11 @@ def main() -> None:
         out["value"] = s["score_gcups"]
         if base is not None and base > 0:
             out["vs_baseline"] = round(s["score_gcups"] * 1e9 / base, 1)
+        # fraction of the formulation's measured VPU ceiling (~95-100
+        # GCUPS, PERF_NOTES "ceiling analysis") — emitted here so the
+        # driver-visible artifact always carries the roofline context
+        out["ceiling_gcups"] = 95
+        out["ceiling_fraction"] = round(s["score_gcups"] / 95, 2)
 
     out.update(stage_trace())
     out.update(stage_lowmem())
