@@ -212,21 +212,21 @@ for i in range(2):
     ws, _ = oracle.affine_gap(a[i], b[i], HUMAN_CHIMP_TWO, -600, -150)
     assert res[i][0] == ws
 
-B, n = 8, 16384
+B, n = 16, 16384
 alphas = rng.integers(0, 4, (B, n)).astype(np.int8)
 betas = rng.integers(0, 4, (B, n)).astype(np.int8)
 for _ in range(2):  # warm-up/compile (fwd + fused-backward traces)
     affine_gap_lowmem_batch(alphas, betas, HUMAN_CHIMP_TWO, -600, -150,
-                            checkersize=2048)
+                            checkersize=1024)
 dt = 1e9
-for _ in range(2):
+for _ in range(3):
     t0 = time.perf_counter()
     affine_gap_lowmem_batch(alphas, betas, HUMAN_CHIMP_TWO, -600, -150,
-                            checkersize=2048)
+                            checkersize=1024)
     dt = min(dt, time.perf_counter() - t0)
 print(json.dumps({
     "lowmem_gcups": round(B * n * n / dt / 1e9, 2),
-    "lowmem_config": "B=8 pairs 16k x 16k, full traceback, K=2048",
+    "lowmem_config": "B=16 pairs 16k x 16k, full traceback, K=1024",
     "lowmem_parity": "batch scores == oracle (B=2, 300x300)"}))
 """, timeout=1200)
 

@@ -761,11 +761,14 @@ def _affine_fwd_chunked_kernel(d0_ref, fin_ref, br_ref,
     be = win[:, :, :Sc]
     sc = _select_score(be, q0, q1, q2, q3, q4)
 
-    m2s, i2s, d2s = _shift_chunked(m2), _shift_chunked(i2), _shift_chunked(d2)
-    m_new = sc + _max3(m2s, i2s, d2s)
+    # fused score-mode recurrences (shift distributes over max/+const):
+    # two chunked shifts instead of six — the unfused trace-style form
+    # measured ~1.8x slower per step (PERF_NOTES stream-kernel table),
+    # and this forward saves no trace
+    m_new = sc + _shift_chunked(_max3(m2, i2, d2))
     i_new = _max3(go_ + ge_ + m1, ge_ + i1, go_ + ge_ + d1)
-    m1s, i1s, d1s = _shift_chunked(m1), _shift_chunked(i1), _shift_chunked(d1)
-    d_new = _max3(go_ + ge_ + m1s, go_ + ge_ + i1s, ge_ + d1s)
+    d_new = _shift_chunked(
+        jnp.maximum(go_ + ge_ + jnp.maximum(m1, i1), ge_ + d1))
 
     interior = (s_idx >= jnp.maximum(1, dg - m_pad)) & \
                (s_idx <= jnp.minimum(dg - 1, n_pad))
@@ -780,10 +783,11 @@ def _affine_fwd_chunked_kernel(d0_ref, fin_ref, br_ref,
     ibuf[cur] = i_new
     dbuf[cur] = d_new
 
-    fin = fin_ref[0, 0] == dg
-    resm_ref[...] = jnp.where(fin, m_new, resm_ref[...])
-    resi_ref[...] = jnp.where(fin, i_new, resi_ref[...])
-    resd_ref[...] = jnp.where(fin, d_new, resd_ref[...])
+    @pl.when(fin_ref[0, 0] == dg)
+    def _capture():
+        resm_ref[...] = m_new
+        resi_ref[...] = i_new
+        resd_ref[...] = d_new
 
     @pl.when(t == K - 1)
     def _store():
@@ -993,6 +997,39 @@ def _lowmem_backward(i0v, j0v, k0v, d0s, ck_m, ck_i, ck_d, profiles, brp,
     return iv, jv, kv, ops  # ops: (NB, K, B)
 
 
+@functools.lru_cache(maxsize=32)
+def _lowmem_fwd_loop(B: int, Sc: int, n: int, m: int, K: int, fb: int,
+                     gap_open: int, gap_extend: int, interpret: bool):
+    """One-dispatch forward of the lowmem aligner: all fb+1 chunked
+    wavefront blocks + checkpoint stacking traced into a single jitted
+    program (per-block eager dispatch paid a tunnel round-trip each)."""
+    fwd = _affine_fwd_chunked_call(B, Sc, n=n, m=m, gap_open=gap_open,
+                                   gap_extend=gap_extend, K=K,
+                                   interpret=interpret)
+    S8 = 8 * Sc
+
+    @jax.jit
+    def loop(fin, br2, q0, q1, q2, q3, q4, sm, si, sd):
+        ckpts = []
+        resm = resi = resd = None
+        for blk in range(fb + 1):
+            ckpts.append((sm, si, sd))
+            d0 = jnp.full((1, 1), blk * K, jnp.int32)
+            sm, si, sd, rm, ri, rd = fwd(d0, fin, br2, q0, q1, q2, q3,
+                                         q4, sm, si, sd)
+            if blk == fb:
+                resm, resi, resd = rm, ri, rd
+        ck_m = jnp.stack([ckpts[blk][0] for blk in range(fb, -1, -1)])
+        ck_i = jnp.stack([ckpts[blk][1] for blk in range(fb, -1, -1)])
+        ck_d = jnp.stack([ckpts[blk][2] for blk in range(fb, -1, -1)])
+        fm = resm.reshape(B, S8)[:, n]
+        fi = resi.reshape(B, S8)[:, n]
+        fd = resd.reshape(B, S8)[:, n]
+        return ck_m, ck_i, ck_d, resm, resi, resd, fm, fi, fd
+
+    return loop
+
+
 def affine_gap_lowmem_batch(alphas, betas, scores, gap_open: int,
                             gap_extend: int, *, checkersize: int = 2048,
                             interpret: bool = False):
@@ -1037,30 +1074,19 @@ def affine_gap_lowmem_batch(alphas, betas, scores, gap_open: int,
     si = jnp.stack([rep(flat0[1]), negrow])
     sd = si
 
-    fwd = _affine_fwd_chunked_call(B, Sc, n=n, m=m, gap_open=gap_open,
-                                   gap_extend=gap_extend, K=K,
-                                   interpret=interpret)
-    bwd = _affine_bwd_window_call(B, W, n=n, m=m, gap_open=gap_open,
-                                  gap_extend=gap_extend, s_size=S8, K=K,
-                                  interpret=interpret)
-
-    def scalar(v):
-        return jnp.full((1, 1), v, jnp.int32)
-
-    # forward: save block-entry states (the checkpoints)
+    # forward: save block-entry states (the checkpoints); the whole
+    # block loop runs as ONE jitted program — per-block eager dispatch
+    # plus checkpoint stacking paid ~0.2s of tunnel round-trips at 16
+    # blocks, comparable to the kernels themselves
     fb = (d_total - 1) // K
-    ckpts = []
-    resm = resi = resd = None
-    for blk in range(fb + 1):
-        ckpts.append((sm, si, sd))
-        sm, si, sd, rm, ri, rd = fwd(scalar(blk * K), fin, br2,
-                                     *profs_c, sm, si, sd)
-        if blk == fb:
-            resm, resi, resd = rm, ri, rd
+    fwd_loop = _lowmem_fwd_loop(B, Sc, n, m, K, fb, gap_open, gap_extend,
+                                interpret)
+    ck_m, ck_i, ck_d, resm, resi, resd, fm_v, fi_v, fd_v = fwd_loop(
+        fin, br2, *profs_c, sm, si, sd)
 
-    fm = onp.asarray(resm.reshape(B, S8)[:, n])
-    fi = onp.asarray(resi.reshape(B, S8)[:, n])
-    fd = onp.asarray(resd.reshape(B, S8)[:, n])
+    fm = onp.asarray(fm_v)
+    fi = onp.asarray(fi_v)
+    fd = onp.asarray(fd_v)
     k0 = onp.where((fm >= fi) & (fm >= fd), 0,
                    onp.where(fi >= fd, 1, 2)).astype(onp.int32)
     score = onp.choose(k0, [fm, fi, fd])
@@ -1071,9 +1097,6 @@ def affine_gap_lowmem_batch(alphas, betas, scores, gap_open: int,
     # (~250x the device time at 16 blocks)
     brp = jnp.pad(br, ((0, 0), (K, 0)), constant_values=4)
     d0s = jnp.arange(fb, -1, -1, dtype=jnp.int32) * K
-    ck_m = jnp.stack([ckpts[blk][0] for blk in range(fb, -1, -1)])
-    ck_i = jnp.stack([ckpts[blk][1] for blk in range(fb, -1, -1)])
-    ck_d = jnp.stack([ckpts[blk][2] for blk in range(fb, -1, -1)])
 
     iv, jv, kv, ops = _lowmem_backward(
         jnp.full(B, n, jnp.int32), jnp.full(B, m, jnp.int32),
