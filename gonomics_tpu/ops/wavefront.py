@@ -705,6 +705,180 @@ def unpack_ops(packed: "np.ndarray", D: int) -> "np.ndarray":
     return crumbs.reshape(packed.shape[0], -1)[:, :D].astype(np.int8)
 
 
+def _banded_kernel(nv_ref, mv_ref, rc_ref, p0, p1, p2, p3, p4,
+                   bv_ref, bi_ref, bc_ref, trace_ref, hbuf, *,
+                   L: int, BW: int, gap: int, wp: int):
+    """Banded local Smith-Waterman, row iteration: lane c holds column
+    j = i + c of row i (the vote anchor pins the alignment near diagonal
+    c = pad, so BW = 64 lanes cover the whole corridor of the (L, W)
+    window that the full wavefront spent S = 2*L lanes x (n+m) steps
+    on). The within-row left-gap chain folds into a log2(BW) max-prefix
+    scan: H[c] = relu(max_k<=c(base[k] + gap*(c-k))) — intermediate
+    clamps cannot raise later maxima because a clamped 0 contributes
+    0 + gap*dist < 0, so the pure prefix form is exact.
+
+    Trace codes match _local_kernel: 0=M(diag), 1=left(ref gap->D),
+    2=up(read gap->I), 3=local stop. Best cell: per-lane strictly-
+    greater keeps the smallest row; the host argmax keeps the smallest
+    lane."""
+    i = pl.program_id(0) + 1
+    B = hbuf.shape[0]
+    gap_ = jnp.int32(gap)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (B, BW), 1)
+
+    @pl.when(i == 1)
+    def _init():
+        hbuf[...] = jnp.zeros((B, BW), jnp.int32)
+        bv_ref[...] = jnp.zeros((B, BW), jnp.int32)
+        bi_ref[...] = jnp.zeros((B, BW), jnp.int32)
+
+    prev = hbuf[...]
+    # sub[c] = scores[read[i-1], window[i-1+c]]: slide the 5 per-window-
+    # base profile rows to this row's offset (aligned load + rotate, the
+    # proven dynamic-lane pattern), then select by the row's read code
+    # (a (B, 1) scalar column fed per-row). An XLA gather for the same
+    # (B, L, BW) tensor costs ~150 ms/batch on this chip.
+    off = i - 1
+    off_al = pl.multiple_of((off // 128) * 128, 128)
+    r = off - off_al
+    rot = jax.lax.rem(256 - r, 256)
+
+    def slide(p):
+        win = pltpu.roll(p[:, pl.ds(off_al, 256)], rot, axis=1)
+        return win[:, :BW].astype(jnp.int32)
+
+    rb = rc_ref[0]  # (B, 1) read codes for this row
+    lo = jnp.where(rb == 0, slide(p0), slide(p1))
+    hi = jnp.where(rb == 2, slide(p2),
+                   jnp.where(rb == 3, slide(p3), slide(p4)))
+    sub = jnp.where(rb < 2, lo, hi)
+    nb = nv_ref[...]  # (B, 1)
+    mb = mv_ref[...]
+    diag = prev + sub
+    up = jnp.concatenate([prev[:, 1:], jnp.zeros((B, 1), jnp.int32)],
+                         axis=1) + gap_
+    base = jnp.maximum(diag, up)
+    j_val = i + c_idx
+    valid = (i <= nb) & (j_val >= 1) & (j_val <= mb)
+    base = jnp.where(valid, base, NEG // 2)
+    # left-gap chain via max-prefix of A[c] = base[c] - gap*c
+    a = base - gap_ * c_idx
+    for s in (1, 2, 4, 8, 16, 32):
+        sh = jnp.concatenate(
+            [jnp.full((B, s), NEG // 2, jnp.int32), a[:, :-s]], axis=1)
+        a = jnp.maximum(a, sh)
+    h = jnp.maximum(a + gap_ * c_idx, 0)
+    h = jnp.where(valid, h, 0)
+    hbuf[...] = h
+
+    left = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), h[:, :-1]],
+                           axis=1) + gap_
+    t = jnp.where(h == 0, 3,
+                  jnp.where(h == diag, 0,
+                            jnp.where(h == left, 1, 2)))
+    trace_ref[0] = t.astype(jnp.int8)
+
+    upd = h > bv_ref[...]
+    bv_ref[...] = jnp.where(upd, h, bv_ref[...])
+    bi_ref[...] = jnp.where(upd, i, bi_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("D", "BW"))
+def _banded_walk(trace, i_end, c_end, active0, *, D: int, BW: int):
+    """Backward walk over the banded trace: codes 0=M(i-1), 1=left(c-1),
+    2=up(i-1, c+1), >=3 stop/inactive. Emits local_align_full's op
+    stream (packed by the caller)."""
+    L = trace.shape[0]
+    B = trace.shape[1]
+    bidx = jnp.arange(B)
+
+    def step(carry, _):
+        i, c, active = carry
+        cont = active & (i > 0)
+        t_raw = trace[jnp.clip(i - 1, 0, L - 1), bidx,
+                      jnp.clip(c, 0, BW - 1)].astype(jnp.int32)
+        t_eff = jnp.where(cont & (t_raw != 3), t_raw, 4)
+        ni = i - jnp.where((t_eff == 0) | (t_eff == 2), 1, 0)
+        nc = c - jnp.where(t_eff == 1, 1, 0) + jnp.where(t_eff == 2, 1, 0)
+        nactive = cont & (t_raw != 3)
+        return (ni, nc, nactive), t_eff.astype(jnp.int8)
+
+    (i0, c0, _), ops = jax.lax.scan(step, (i_end, c_end, active0), None,
+                                    length=D)
+    return i0, c0, ops.T  # (B, D)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "W", "gap", "interpret"))
+def banded_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *,
+                      L: int, W: int, gap: int, interpret: bool = False):
+    """Banded drop-in for local_align_full on vote-anchored windows:
+    same (score, i_end, j_end, i0, j0, packed-ops) contract, ~L grid
+    steps of BW = 64 lanes instead of (L + W) steps of 2L lanes. Paths
+    leaving the j - i in [0, BW) corridor are not scored (they cannot
+    beat min_score on anchored windows; the full wavefront path remains
+    for unanchored uses)."""
+    B = alpha_pad.shape[0]
+    BW = 64
+    if W < BW:
+        raise ValueError("window must be at least the band width")
+    # per-window-base profiles P_a[b, j] = scores[a, beta[b, j]] (small
+    # select trees, no gathers) + per-row read codes
+    sc_t = jnp.asarray(scores, jnp.int32)
+    wp = _round_up(W + 256 + 128, 128)
+    bp = jnp.concatenate(
+        [beta_pad, jnp.full((B, wp - W), 4, jnp.int8)],
+        axis=1).astype(jnp.int32)
+    bp = jnp.clip(bp, 0, 4)
+    profs = []
+    for a in range(5):
+        lo = jnp.where(bp == 0, sc_t[a, 0], sc_t[a, 1])
+        hi = jnp.where(bp == 2, sc_t[a, 2],
+                       jnp.where(bp == 3, sc_t[a, 3], sc_t[a, 4]))
+        profs.append(jnp.where(bp < 2, lo, hi))
+    rcode = jnp.clip(alpha_pad.astype(jnp.int32), 0, 4).T[:, :, None]  # (L, B, 1)
+
+    def vspec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_banded_kernel, L=L, BW=BW, gap=gap, wp=wp)
+    res_shape = jax.ShapeDtypeStruct((B, BW), jnp.int32)
+    bv, bi, _bc, trace = pl.pallas_call(
+        kern,
+        grid=(L,),
+        in_specs=[vspec(), vspec(),
+                  pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + [vspec()] * 5,
+        out_specs=(vspec(), vspec(), vspec(),
+                   pl.BlockSpec((1, B, BW), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(res_shape, res_shape, res_shape,
+                   jax.ShapeDtypeStruct((L, B, BW), jnp.int8)),
+        scratch_shapes=[pltpu.VMEM((B, BW), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(n_vec, m_vec, rcode, *profs)
+
+    score = jnp.max(bv, axis=1)
+    c_star = jnp.argmax(bv, axis=1).astype(jnp.int32)
+    i_star = jnp.take_along_axis(bi, c_star[:, None], axis=1)[:, 0]
+    i_end = i_star
+    j_end = i_star + c_star
+    D = L + BW + 4
+    i0, c0, ops = _banded_walk(trace, i_star, c_star, score > 0,
+                               D=D, BW=BW)
+    j0 = i0 + c0
+    opsT = jnp.minimum(ops, 3).astype(jnp.int32)
+    Dp = -(-D // 4) * 4
+    opsT = jnp.pad(opsT, ((0, 0), (0, Dp - D)), constant_values=3)
+    packed = (opsT.reshape(B, Dp // 4, 4)
+              * jnp.asarray([1, 4, 16, 64], jnp.int32)).sum(
+                  axis=-1).astype(jnp.uint8)
+    return score, i_end, j_end, i0, j0, packed
+
+
 def _shift_chunked(x):
     """s -> s-1 shift in the chunked layout x[b, c, l] = v[b, c*Sc + l]:
     lane shift with a per-pair sublane-carry column (row c gets row c-1's

@@ -433,7 +433,6 @@ class TpuReadAligner:
         cand = self._candidates(fwd, rev)
         W = L + 2 * self.pad
         starts = np.clip(cand.diag - self.pad, 0, len(self.genome) - W)
-        windows = self.genome[starts[:, None] + np.arange(W)]
         read_seqs = np.where(cand.strand[:, None], fwd, rev)
 
         quantum = 8
@@ -443,8 +442,6 @@ class TpuReadAligner:
         if Bp != B:
             pad_rows = np.full((Bp - B, L), dna.N, np.int8)
             read_seqs = np.vstack([read_seqs, pad_rows])
-            windows = np.vstack([windows,
-                                 np.full((Bp - B, W), dna.N, np.int8)])
         n_vec = np.zeros((Bp, 1), np.int32)
         n_vec[:B, 0] = lens
         m_vec = np.full((Bp, 1), W, np.int32)
@@ -452,6 +449,10 @@ class TpuReadAligner:
         import jax
 
         if self.mesh is not None:
+            windows = self.genome[starts[:, None] + np.arange(W)]
+            if Bp != B:
+                windows = np.vstack([windows,
+                                     np.full((Bp - B, W), dna.N, np.int8)])
             fn = self._sharded_fns.get((L, W))
             if fn is None:
                 from .parallel import shard_local_align
@@ -462,15 +463,84 @@ class TpuReadAligner:
                 self._sharded_fns[(L, W)] = fn
             res = fn(jnp.asarray(read_seqs), jnp.asarray(windows),
                      jnp.asarray(n_vec), jnp.asarray(m_vec))
+            walk_d = L + W  # wavefront walk length
         else:
-            from .ops.wavefront import profile_fits16
+            # banded engine: the vote anchor pins the path near diagonal
+            # `pad`, so a 64-lane band over L rows replaces the (L+W)-
+            # step 2L-lane wavefront (~10x less device work). Reads and
+            # windows go up 2-codes-per-byte, and the five result
+            # vectors + packed walk come back as ONE array — each extra
+            # device<->host array costs a tunnel round-trip.
+            windows = self.genome[starts[:, None] + np.arange(W)]
+            if Bp != B:
+                windows = np.vstack([windows,
+                                     np.full((Bp - B, W), dna.N, np.int8)])
+            res = self._banded_driver(L, W)(
+                jnp.asarray(self._pack4(read_seqs)),
+                jnp.asarray(self._pack4(windows)),
+                jnp.asarray(n_vec), jnp.asarray(m_vec))
+            walk_d = L + 64 + 4
+        return reads, cand, starts, lens, read_seqs, res, walk_d
 
-            res = local_align_full(
-                jnp.asarray(read_seqs), jnp.asarray(windows),
-                jnp.asarray(n_vec), jnp.asarray(m_vec), self.scores,
-                n=L, m=W, gap=self.gap, interpret=self.interpret,
-                prof16=profile_fits16(self.scores))
-        return reads, cand, starts, lens, read_seqs, res
+    @staticmethod
+    def _pack4(seqs: np.ndarray) -> np.ndarray:
+        """Two 4-bit base codes per byte (codes 0..12 fit)."""
+        B, L = seqs.shape
+        if L % 2:
+            seqs = np.concatenate(
+                [seqs, np.full((B, 1), dna.N, np.int8)], axis=1)
+        u = seqs.astype(np.uint8)
+        return (u[:, ::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+
+    def _banded_driver(self, L: int, W: int):
+        """Jitted unpack + banded DP + single-array result packing,
+        cached per shape."""
+        fn = self._sharded_fns.get(("banded", L, W))
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.wavefront import banded_align_full
+
+        scores = self.scores
+        gap = self.gap
+        interpret = self.interpret
+
+        def unpack(pk, n):
+            lo = (pk & 0xF).astype(jnp.int8)
+            hi = ((pk >> 4) & 0xF).astype(jnp.int8)
+            return jnp.stack([lo, hi], axis=-1).reshape(
+                pk.shape[0], -1)[:, :n]
+
+        @jax.jit
+        def run(preads, pwins, n_vec, m_vec):
+            rs = unpack(preads, L)
+            windows = unpack(pwins, W)
+            score, i_end, j_end, i0, j0, packed = banded_align_full(
+                rs, windows, n_vec, m_vec, scores, L=L, W=W, gap=gap,
+                interpret=interpret)
+            meta = jnp.stack([score, i_end, j_end, i0, j0],
+                             axis=1).astype(jnp.int32)
+            meta8 = jax.lax.bitcast_convert_type(
+                meta, jnp.uint8).reshape(meta.shape[0], 20)
+            return jnp.concatenate([meta8, packed], axis=1)
+
+        self._sharded_fns[("banded", L, W)] = run
+        return run
+
+    @staticmethod
+    def _decode_res(res):
+        """(score, i_end, j_end, i0, j0, packed-ops) from either the
+        mesh path's tuple or the banded driver's single packed array."""
+        import jax
+
+        if isinstance(res, (tuple, list)):
+            return jax.device_get(res)
+        buf = np.asarray(jax.device_get(res))
+        meta = np.ascontiguousarray(buf[:, :20]).view(np.int32)
+        return (meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3],
+                meta[:, 4], buf[:, 20:])
 
     def finish_batch(self, handle) -> list[samio.Sam]:
         """Block on the device result of align_batch_async and emit SAM."""
@@ -478,11 +548,9 @@ class TpuReadAligner:
 
         from .ops.wavefront import unpack_ops
 
-        reads, cand, starts, lens, _seqs, res = handle
-        score, i_end, _j_end, i0, j0, packed = jax.device_get(res)
-        L = _seqs.shape[1]
-        D = 2 * L + 2 * self.pad  # n + m of the device walk
-        ops = unpack_ops(np.asarray(packed[:len(reads)]), D)
+        reads, cand, starts, lens, _seqs, res, walk_d = handle
+        score, i_end, _j_end, i0, j0, packed = self._decode_res(res)
+        ops = unpack_ops(np.asarray(packed[:len(reads)]), walk_d)
         routes = self._routes_from_ops_batch(ops)
 
         out: list[samio.Sam] = []
@@ -502,7 +570,7 @@ class TpuReadAligner:
 
         from . import native
 
-        reads, cand, starts, lens, read_seqs, res = handle
+        reads, cand, starts, lens, read_seqs, res, walk_d = handle
         B = len(reads)
         lens = np.asarray(lens)
         if not native.available() or not (lens == lens[0]).all():
@@ -511,9 +579,9 @@ class TpuReadAligner:
         from .ops.wavefront import unpack_ops
 
         score, i_end, _j, i0, j0, packed = (np.asarray(x)
-                                            for x in jax.device_get(res))
+                                            for x in self._decode_res(res))
         score, i_end, i0, j0 = (x[:B] for x in (score, i_end, i0, j0))
-        ops = unpack_ops(packed[:B], 2 * read_seqs.shape[1] + 2 * self.pad)
+        ops = unpack_ops(packed[:B], walk_d)
 
         mapped = (score >= self.min_score) & (cand.votes > 0)
         cig_off, cig_cnt, run_lens, run_ops, mapped = \
