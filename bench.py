@@ -364,9 +364,9 @@ pending = None
 for reads in batches:
     handle = al.align_batch_async(reads)
     if pending is not None:
-        al.finish_batch(pending)
+        al.finish_batch_lines(pending)
     pending = handle
-al.finish_batch(pending)
+al.finish_batch_lines(pending)
 rps = len(batches) * B / (time.perf_counter() - t0)
 rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 print(json.dumps({
