@@ -479,6 +479,73 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
             if cd is not None:
                 hi = max(hi, max(cd.ins.keys(), default=hi - 1) + 1)
         L = hi - lo
+        if native.available() and all(cd is None or cd.cnt2 is not None
+                                      for cd in cds):
+            # the whole prescreen (exists/depth/expsum/cand) in one
+            # threaded C pass over the dense arrays the scatter already
+            # produced; semantics mirror the numpy body below exactly
+            cnt2_list, depth_list, offs, spans = [], [], [], []
+            ins_pos_l: list[int] = []
+            ins_tot_l: list[int] = []
+            ins_off = [0]
+            del_pos_l: list[int] = []
+            del_off = [0]
+            for cd in cds:
+                if cd is None:
+                    cnt2_list.append(np.zeros((0, 13), np.int32))
+                    depth_list.append(np.zeros(0, np.int32))
+                    offs.append(0)
+                    spans.append(0)
+                else:
+                    cnt2_list.append(cd.cnt2)
+                    depth_list.append(cd.depth_arr)
+                    offs.append(cd.lo - lo)
+                    spans.append(cd.cnt2.shape[0])
+                    for p, (mf, mr) in cd.ins.items():
+                        ins_pos_l.append(p)
+                        ins_tot_l.append(sum(mf.values())
+                                         + sum(mr.values()))
+                    for p in cd.dels:
+                        del_pos_l.append(p)
+                ins_off.append(len(ins_pos_l))
+                del_off.append(len(del_pos_l))
+            raw_ref = ref.chrom_array(chrom)
+            exists, depths, expsum, cand, indel_pos, ns = \
+                native.cv_prescreen(cnt2_list, depth_list, offs, spans,
+                                    ins_pos_l, ins_tot_l, ins_off,
+                                    del_pos_l, del_off, n_exp, L, lo,
+                                    raw_ref, min_coverage)
+            n_sites += ns
+            refarr = dna.to_upper(raw_ref)
+            pos_idx = np.arange(lo, hi)
+            ref_codes = np.full(L, dna.N, np.int64)
+            valid_pos = (pos_idx >= 1) & (pos_idx <= len(refarr))
+            ref_codes[valid_pos] = refarr[pos_idx[valid_pos] - 1]
+            vec_mask = cand & ~indel_pos
+            emit = np.nonzero(cand & indel_pos)[0].tolist()
+            vec_idx = np.nonzero(vec_mask)[0]
+            if len(vec_idx):
+                passed = _vector_snv_pass(
+                    cds, exists, depths, expsum, ref_codes, vec_idx, lo,
+                    n_exp, max_p, min_af, max_af, max_strand_bias,
+                    min_coverage, min_alt_reads)
+                emit.extend(vec_idx[passed].tolist())
+            for p_off in sorted(emit):
+                pos = lo + p_off
+                piles = []
+                for i, cd in enumerate(cds):
+                    if cd is not None and exists[i, p_off]:
+                        piles.append(pile_from_dense(cd, refidx, pos))
+                    else:
+                        piles.append(Pile(ref_idx=-1))
+                v = get_variant(piles[:n_exp], piles[n_exp:], headers[0],
+                                ref, max_p, min_af, max_af,
+                                max_strand_bias, min_coverage,
+                                min_alt_reads)
+                if v is not None:
+                    n_vars += 1
+                    vcfio.write_vcf(out, v)
+            continue
         exists = np.zeros((n_samp, L), bool)
         depths = np.zeros((n_samp, L), np.int64)
         expsum = np.zeros((L, 13), np.int32)

@@ -64,6 +64,16 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p]
+            lib.cv_prescreen.restype = ctypes.c_int64
+            lib.cv_prescreen.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
             lib.compress_blocks.restype = ctypes.c_int64
             lib.compress_blocks.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
@@ -215,6 +225,51 @@ def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
     if wrote < 0:
         return None
     return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def cv_prescreen(cnt2_list, depth_list, offs, spans, ins_pos, ins_tot,
+                 ins_off, del_pos, del_off, n_exp: int, L: int, lo: int,
+                 refarr, min_coverage: int, nthreads: int = 0):
+    """callVariants candidate prescreen in one threaded C pass; returns
+    (exists bool (n_samp, L), depths int32, expsum int32 (L, 13),
+    cand bool, indel_pos bool, n_sites) or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_samp = len(cnt2_list)
+    if nthreads <= 0:
+        nthreads = min(4, os.cpu_count() or 1)
+    cnt2_list = [np.ascontiguousarray(x, np.int32) for x in cnt2_list]
+    depth_list = [np.ascontiguousarray(x, np.int32) for x in depth_list]
+    cptr = np.array([x.ctypes.data for x in cnt2_list], np.uintp)
+    dptr = np.array([x.ctypes.data for x in depth_list], np.uintp)
+    offs = np.ascontiguousarray(offs, np.int64)
+    spans = np.ascontiguousarray(spans, np.int64)
+    ins_pos = np.ascontiguousarray(ins_pos, np.int32)
+    ins_tot = np.ascontiguousarray(ins_tot, np.int32)
+    ins_off = np.ascontiguousarray(ins_off, np.int64)
+    del_pos = np.ascontiguousarray(del_pos, np.int32)
+    del_off = np.ascontiguousarray(del_off, np.int64)
+    refarr = np.ascontiguousarray(refarr, np.int8)
+    exists = np.empty((n_samp, L), np.uint8)
+    depths = np.empty((n_samp, L), np.int32)
+    expsum = np.empty((L, 13), np.int32)
+    cand = np.empty(L, np.uint8)
+    indel_pos_out = np.empty(L, np.uint8)
+    vp = ctypes.c_void_p
+    n_sites = lib.cv_prescreen(
+        cptr.ctypes.data_as(vp), dptr.ctypes.data_as(vp),
+        offs.ctypes.data_as(vp), spans.ctypes.data_as(vp),
+        ins_pos.ctypes.data_as(vp), ins_tot.ctypes.data_as(vp),
+        ins_off.ctypes.data_as(vp),
+        del_pos.ctypes.data_as(vp), del_off.ctypes.data_as(vp),
+        n_samp, n_exp, L, lo, refarr.ctypes.data_as(vp), len(refarr),
+        min_coverage,
+        exists.ctypes.data_as(vp), depths.ctypes.data_as(vp),
+        expsum.ctypes.data_as(vp), cand.ctypes.data_as(vp),
+        indel_pos_out.ctypes.data_as(vp), nthreads)
+    return (exists.view(bool), depths, expsum, cand.view(bool),
+            indel_pos_out.view(bool), int(n_sites))
 
 
 def compress_blocks(data: bytes, *, bgzf: bool, level: int = 6,

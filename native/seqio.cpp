@@ -686,6 +686,144 @@ void runs_to_counts(const int32_t* starts, const int32_t* lens,
     }
 }
 
+// callVariants candidate prescreen over the dense per-sample count
+// arrays (the numpy body of cli/call_variants.py's per-chromosome loop,
+// done in one threaded C pass): computes per-sample exists/depth rows,
+// the experimental count sum, and the candidate-site mask — exactly
+// getPossibleAlts' non-empty condition (testVariant.go:166-285).
+//   cnt2s[s]  : (span_s, 13) int32 strand-summed counts
+//   depths_in : (span_s,) int32 base depths
+//   offs/spans: per-sample placement within [lo, lo+L)
+//   ins_pos/ins_tot: per-sample insertion positions (ABSOLUTE) + total
+//   counts (f+r); concatenated, indexed by ins_off[s]..ins_off[s+1]
+//   refarr    : chromosome base codes (1-based positions p -> refarr[p-1])
+// Outputs: exists (n_samp, L) u8, depth_out (n_samp, L) i32,
+// expsum (L, 13) i32, cand/indel_pos (L) u8. Returns n_sites (union of
+// exists) as int64.
+int64_t cv_prescreen(const int32_t** cnt2s, const int32_t** depths_in,
+                     const int64_t* offs, const int64_t* spans,
+                     const int32_t* ins_pos, const int32_t* ins_tot,
+                     const int64_t* ins_off,
+                     const int32_t* del_pos, const int64_t* del_off,
+                     int32_t n_samp, int32_t n_exp, int64_t L, int64_t lo,
+                     const int8_t* refarr, int64_t ref_len,
+                     int32_t min_coverage,
+                     uint8_t* exists, int32_t* depth_out, int32_t* expsum,
+                     uint8_t* cand, uint8_t* indel_pos,
+                     int32_t nthreads) {
+    std::memset(exists, 0, (size_t)n_samp * L);
+    std::memset(depth_out, 0, (size_t)n_samp * L * 4);
+    std::memset(expsum, 0, (size_t)L * 13 * 4);
+    std::memset(cand, 0, (size_t)L);
+    std::memset(indel_pos, 0, (size_t)L);
+    if (nthreads < 1) nthreads = 1;
+    int64_t chunk = (L + nthreads - 1) / nthreads;
+    // dense depth placement (ins corrections applied after, sparse)
+    auto work = [&](int t) {
+        int64_t r_lo = t * chunk;
+        int64_t r_hi = r_lo + chunk < L ? r_lo + chunk : L;
+        for (int s = 0; s < n_samp; s++) {
+            const int32_t* dep = depths_in[s];
+            int64_t off = offs[s], span = spans[s];
+            int64_t a = r_lo > off ? r_lo : off;
+            int64_t b = r_hi < off + span ? r_hi : off + span;
+            int32_t* drow = depth_out + (size_t)s * L;
+            for (int64_t p = a; p < b; p++) drow[p] = dep[p - off];
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    // sparse insertion corrections (depth += total; touched flag via
+    // nonzero depth OR an ins at the position)
+    for (int s = 0; s < n_samp; s++) {
+        int32_t* drow = depth_out + (size_t)s * L;
+        for (int64_t k = ins_off[s]; k < ins_off[s + 1]; k++) {
+            int64_t p = (int64_t)ins_pos[k] - lo;
+            if (p >= 0 && p < L) drow[p] += ins_tot[k];
+        }
+    }
+    // exists / expsum / cand
+    auto work2 = [&](int t) {
+        int64_t r_lo = t * chunk;
+        int64_t r_hi = r_lo + chunk < L ? r_lo + chunk : L;
+        for (int s = 0; s < n_samp; s++) {
+            const int32_t* cnt = cnt2s[s];
+            const int32_t* dep0 = depths_in[s];
+            int64_t off = offs[s], span = spans[s];
+            int32_t* drow = depth_out + (size_t)s * L;
+            uint8_t* erow = exists + (size_t)s * L;
+            for (int64_t p = r_lo; p < r_hi; p++) {
+                bool in_span = p >= off && p < off + span;
+                bool touched = (in_span && dep0[p - off] > 0) ||
+                               (drow[p] > (in_span ? dep0[p - off] : 0));
+                if (touched && drow[p] >= min_coverage) {
+                    erow[p] = 1;
+                    if (s < n_exp && in_span) {
+                        const int32_t* row = cnt + (size_t)(p - off) * 13;
+                        int32_t* es = expsum + (size_t)p * 13;
+                        for (int c = 0; c < 13; c++) es[c] += row[c];
+                    }
+                }
+            }
+        }
+        for (int64_t p = r_lo; p < r_hi; p++) {
+            // SNV evidence = row total minus ref-base and Gap columns
+            int64_t gp = lo + p;  // 1-based genome position
+            int ref_code = 4;     // N
+            if (gp >= 1 && gp <= ref_len) {
+                int rc = refarr[gp - 1];
+                if (rc >= 5 && rc <= 9) rc -= 5;  // to_upper
+                ref_code = rc;
+            }
+            const int32_t* es = expsum + (size_t)p * 13;
+            int64_t tot = 0;
+            for (int c = 0; c < 13; c++) tot += es[c];
+            int cc = ref_code < 0 ? 0 : (ref_code > 12 ? 12 : ref_code);
+            tot -= es[cc];
+            if (cc != 10) tot -= es[10];  // Gap column
+            bool exp_any = false;
+            for (int s = 0; s < n_exp && !exp_any; s++)
+                exp_any = exists[(size_t)s * L + p] != 0;
+            cand[p] = exp_any && tot > 0;
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work2, t);
+        for (auto& th : pool) th.join();
+    }
+    // indel positions + indel evidence -> cand (sparse, serial)
+    for (int s = 0; s < n_samp; s++) {
+        for (int64_t k = ins_off[s]; k < ins_off[s + 1]; k++) {
+            int64_t p = (int64_t)ins_pos[k] - lo;
+            if (p >= 0 && p < L) {
+                indel_pos[p] = 1;
+                if (s < n_exp && exists[(size_t)s * L + p] &&
+                    ins_tot[k] > 0)
+                    cand[p] = 1;
+            }
+        }
+        for (int64_t k = del_off[s]; k < del_off[s + 1]; k++) {
+            int64_t p = (int64_t)del_pos[k] - lo;
+            if (p >= 0 && p < L) {
+                indel_pos[p] = 1;
+                if (s < n_exp && exists[(size_t)s * L + p]) cand[p] = 1;
+            }
+        }
+    }
+    int64_t n_sites = 0;
+    for (int64_t p = 0; p < L; p++) {
+        bool any = false;
+        for (int s = 0; s < n_samp && !any; s++)
+            any = exists[(size_t)s * L + p] != 0;
+        n_sites += any;
+    }
+    return n_sites;
+}
+
 // SAM-text -> pileup scatter runs: tokenizes alignment lines and walks
 // cigars into flat (start, len, fwd, refidx) runs with base codes (GAP
 // for deletions), plus sparse del/ins event lists — the C++ host-layer
