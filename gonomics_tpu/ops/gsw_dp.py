@@ -113,7 +113,7 @@ def _left_full(al, be, nv, mv, scores, *, n, m, gap, interpret,
     score = jnp.take_along_axis(corner, jnp.clip(la, 0, S - 1)[:, None],
                                 axis=1)[:, 0]
     i0, j0, ops = _walk_left(trace, la, lb, score > 0, D=n + m, S=S)
-    return score, i0, j0, ops
+    return _pack_result(score, i0, j0, ops, n + m)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "gap", "interpret",
@@ -138,7 +138,23 @@ def _right_full(al, be, nv, mv, scores, *, n, m, gap, interpret,
     max_j = jnp.where(none, 0, max_j)
     score = jnp.where(none, 0, max_v)
     ops = _walk_right(trace, max_i, max_j, D=n + m, S=S)
-    return score, max_i, max_j, ops
+    return _pack_result(score, max_i, max_j, ops, n + m)
+
+
+def _pack_result(score, i0, j0, ops, D: int):
+    """(3 int32 vectors + (B, D) walk ops) -> ONE (B, 12 + ceil(D/4))
+    uint8 array: each separate device->host array costs a tunnel
+    round-trip (~4-8 ms), which dominated the graph engine's waves."""
+    B = score.shape[0]
+    meta = jnp.stack([score, i0, j0], axis=1).astype(jnp.int32)
+    meta8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(B, 12)
+    opsT = jnp.minimum(ops, 3).astype(jnp.int32)
+    Dp = -(-D // 4) * 4
+    opsT = jnp.pad(opsT, ((0, 0), (0, Dp - D)), constant_values=3)
+    packed = (opsT.reshape(B, Dp // 4, 4)
+              * jnp.asarray([1, 4, 16, 64], jnp.int32)).sum(
+                  axis=-1).astype(jnp.uint8)
+    return jnp.concatenate([meta8, packed], axis=1)
 
 
 def _pad_jobs(jobs, n: int, m: int):
@@ -206,25 +222,26 @@ class GswDpBatch:
             res = fn(jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
                      jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
                      interpret=self.interpret, prof16=self._prof16)
-            handles.append((res, used))
+            handles.append((res, used, n + m))
         return handles
 
     @staticmethod
     def _finish(handles) -> list[tuple[int, list[CigarOp], int, int]]:
+        from .wavefront import unpack_ops
+
         out: list[tuple[int, list[CigarOp], int, int]] = []
-        # one bulk transfer: copy_to_host_async on every array of every
-        # chunk first, so the tunnel round-trips overlap instead of
-        # paying ~8ms serially per array
-        for res, _ in handles:
-            for x in res:
-                if hasattr(x, "copy_to_host_async"):
-                    x.copy_to_host_async()
-        fetched = jax.device_get([res for res, _ in handles])
-        for (res, used), vals in zip(handles, fetched):
-            score, i0, j0, ops = (np.asarray(x) for x in vals)
+        # one packed array per chunk; async-start every transfer first
+        for res, _, _ in handles:
+            if hasattr(res, "copy_to_host_async"):
+                res.copy_to_host_async()
+        fetched = jax.device_get([res for res, _, _ in handles])
+        for (_, used, D), buf in zip(handles, fetched):
+            buf = np.asarray(buf)
+            meta = np.ascontiguousarray(buf[:, :12]).view(np.int32)
+            ops = unpack_ops(buf[:, 12:], D)
             routes = _routes_walk_order(ops)
-            out.extend((int(score[b]), routes[b], int(i0[b]), int(j0[b]))
-                       for b in range(used))
+            out.extend((int(meta[b, 0]), routes[b], int(meta[b, 1]),
+                        int(meta[b, 2])) for b in range(used))
         return out
 
     def run_both(self, left_jobs, right_jobs):
@@ -233,7 +250,7 @@ class GswDpBatch:
         lh = self._start("left", left_jobs)
         rh = self._start("right", right_jobs)
         both = self._finish(lh + rh)
-        nl = sum(used for _, used in lh)
+        nl = sum(used for _, used, _ in lh)
         return both[:nl], both[nl:]
 
     def run_left(self, jobs) -> list[tuple[int, list[CigarOp], int, int]]:
