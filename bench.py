@@ -243,7 +243,7 @@ from gonomics_tpu.io.fastq import Fastq, to_big
 from gonomics_tpu.tpu_align import TpuReadAligner
 
 rng = np.random.default_rng(0)
-genome_len, B, L = 1_000_000, 2048, 150
+genome_len, B, L = 1_000_000, 4096, 150
 genome = rng.integers(0, 4, genome_len).astype(np.int8)
 al = TpuReadAligner([Fasta("chr1", genome)])
 
@@ -281,7 +281,7 @@ with ThreadPoolExecutor(max_workers=1) as ex:
             futs.popleft().result()
         best = max(best, len(batches) * B / (time.perf_counter() - t0))
 out = {"reads_per_s_1chip": round(best),
-       "reads_config": "150bp x 2048/batch, 1Mbp genome, end-to-end SAM "
+       "reads_config": "150bp x 4096/batch, 1Mbp genome, end-to-end SAM "
                        "text, 3-stage prep/device/assemble pipeline"}
 
 # graph engine: variant graph of a 200 kb genome, reads along its paths
@@ -338,7 +338,7 @@ from gonomics_tpu.io.fastq import Fastq
 from gonomics_tpu.tpu_align import TpuReadAligner
 
 rng = np.random.default_rng(0)
-G, B, L = 100_000_000, 2048, 150
+G, B, L = 100_000_000, 4096, 150
 genome = rng.integers(0, 4, G).astype(np.int8)
 t0 = time.perf_counter()
 al = TpuReadAligner([Fasta("chr1", genome)])
@@ -374,7 +374,7 @@ print(json.dumps({
     "genome100mb_index_build_s": round(build_s, 1),
     "genome100mb_peak_rss_gb": round(rss, 2),
     "genome100mb_mapped_frac": round(mapped / B, 3),
-    "genome100mb_config": "100 Mbp synthetic, 150bp x 2048/batch"}))
+    "genome100mb_config": "100 Mbp synthetic, 150bp x 4096/batch"}))
 """, timeout=1800)
 
 
