@@ -148,3 +148,54 @@ def test_finish_batch_lines_matches_objects(setup):
     h2 = al.align_batch_async(reads)
     want = "".join(s.to_string() + "\n" for s in al.finish_batch(h2))
     assert text == want
+
+
+def test_banded_engine_indel_cigars():
+    """Reads with small indels map through the banded engine with D/I
+    cigar runs at the right read offsets (band covers +/- pad)."""
+    import numpy as np
+
+    from gonomics_tpu import dna
+    from gonomics_tpu.io.fasta import Fasta
+    from gonomics_tpu.io.fastq import Fastq
+    from gonomics_tpu.tpu_align import TpuReadAligner
+
+    rng = np.random.default_rng(42)
+    G, L = 200_000, 120
+    genome = rng.integers(0, 4, G).astype(np.int8)
+    al = TpuReadAligner([Fasta("chr1", genome)], seed_len=15)
+    reads = []
+    starts = []
+    kinds = []
+    for i in range(32):
+        s = int(rng.integers(1000, G - 1000))
+        starts.append(s)
+        if i % 3 == 0:  # 5 bp deletion in the read (skips genome bases)
+            seq = np.concatenate([genome[s:s + 60],
+                                  genome[s + 65:s + 65 + (L - 60)]])
+            kinds.append("D")
+        elif i % 3 == 1:  # 5 bp insertion
+            ins = rng.integers(0, 4, 5).astype(np.int8)
+            seq = np.concatenate([genome[s:s + 60], ins,
+                                  genome[s + 60:s + 60 + (L - 65)]])
+            kinds.append("I")
+        else:
+            seq = genome[s:s + L].copy()
+            kinds.append("M")
+        reads.append(Fastq(f"r{i}", seq.astype(np.int8),
+                           np.full(len(seq), 30, np.uint8)))
+    sams = al.align_batch(reads)
+    for i, s in enumerate(sams):
+        assert not s.flag & 4, f"read {i} unmapped"
+        assert s.pos == starts[i] + 1, (i, s.pos, starts[i] + 1)
+        ops = "".join(c.op * 1 for c in s.cigar)
+        if kinds[i] == "D":
+            assert "D" in ops, (i, ops)
+            # linear-gap model may split a run; total skipped ref = 5
+            assert sum(c.run_length for c in s.cigar if c.op == "D") == 5
+        elif kinds[i] == "I":
+            assert "I" in ops, (i, ops)
+            assert sum(c.run_length for c in s.cigar if c.op == "I") == 5
+        # cigar read-length bookkeeping
+        qlen = sum(c.run_length for c in s.cigar if c.op in "MIS=X")
+        assert qlen == len(reads[i].seq)
