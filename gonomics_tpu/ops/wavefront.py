@@ -134,16 +134,17 @@ def _affine_kernel(fin_ref, br_ref, q0, q1, q2, q3, q4, *rest,
     sc = _select_score(be, q0, q1, q2, q3, q4)
 
     if with_trace:
-        m2s, i2s, d2s = _shift(m2), _shift(i2), _shift(d2)
-        m_new = sc + _max3(m2s, i2s, d2s)
-        t_m = _argmax3(m2s, i2s, d2s)
+        # shifts applied AFTER the max/argmax (a lane shift commutes
+        # with elementwise max and +const): 4 shifts instead of 6, and
+        # the D-state compares share go+ge+m1 with the I state
+        m_new = sc + _shift(_max3(m2, i2, d2))
+        t_m = _shift(_argmax3(m2, i2, d2))
         a_i, b_i, c_i = go_ + ge_ + m1, ge_ + i1, go_ + ge_ + d1
         i_new = _max3(a_i, b_i, c_i)
         t_i = _argmax3(a_i, b_i, c_i)
-        m1s, i1s, d1s = _shift(m1), _shift(i1), _shift(d1)
-        a_d, b_d, c_d = go_ + ge_ + m1s, go_ + ge_ + i1s, ge_ + d1s
-        d_new = _max3(a_d, b_d, c_d)
-        t_d = _argmax3(a_d, b_d, c_d)
+        b_d, c_d = go_ + ge_ + i1, ge_ + d1
+        d_new = _shift(_max3(a_i, b_d, c_d))
+        t_d = _shift(_argmax3(a_i, b_d, c_d))
     else:
         m_new = sc + _shift(_max3(m2, i2, d2))
         i_new = _max3(go_ + ge_ + m1, ge_ + i1, go_ + ge_ + d1)
