@@ -745,8 +745,9 @@ def _banded_kernel(nv_ref, mv_ref, rc_ref, p0, p1, p2, p3, p4,
     rot = jax.lax.rem(256 - r, 256)
 
     def slide(p):
-        win = pltpu.roll(p[:, pl.ds(off_al, 256)], rot, axis=1)
-        return win[:, :BW].astype(jnp.int32)
+        # widen before the rotate: Mosaic has no non-32-bit dynamic roll
+        win = p[:, pl.ds(off_al, 256)].astype(jnp.int32)
+        return pltpu.roll(win, rot, axis=1)[:, :BW]
 
     rb = rc_ref[0]  # (B, 1) read codes for this row
     lo = jnp.where(rb == 0, slide(p0), slide(p1))
@@ -809,9 +810,11 @@ def _banded_walk(trace, i_end, c_end, active0, *, D: int, BW: int):
     return i0, c0, ops.T  # (B, D)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "W", "gap", "interpret"))
+@functools.partial(jax.jit, static_argnames=("L", "W", "gap", "interpret",
+                                             "prof16"))
 def banded_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *,
-                      L: int, W: int, gap: int, interpret: bool = False):
+                      L: int, W: int, gap: int, interpret: bool = False,
+                      prof16: bool = False):
     """Banded drop-in for local_align_full on vote-anchored windows:
     same (score, i_end, j_end, i0, j0, packed-ops) contract, ~L grid
     steps of BW = 64 lanes instead of (L + W) steps of 2L lanes. Paths
@@ -835,7 +838,8 @@ def banded_align_full(alpha_pad, beta_pad, n_vec, m_vec, scores, *,
         lo = jnp.where(bp == 0, sc_t[a, 0], sc_t[a, 1])
         hi = jnp.where(bp == 2, sc_t[a, 2],
                        jnp.where(bp == 3, sc_t[a, 3], sc_t[a, 4]))
-        profs.append(jnp.where(bp < 2, lo, hi))
+        prof = jnp.where(bp < 2, lo, hi)
+        profs.append(prof.astype(jnp.int16) if prof16 else prof)
     rcode = jnp.clip(alpha_pad.astype(jnp.int32), 0, 4).T[:, :, None]  # (L, B, 1)
 
     def vspec():

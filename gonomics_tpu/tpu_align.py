@@ -501,9 +501,10 @@ class TpuReadAligner:
         import jax
         import jax.numpy as jnp
 
-        from .ops.wavefront import banded_align_full
+        from .ops.wavefront import banded_align_full, profile_fits16
 
         scores = self.scores
+        p16 = profile_fits16(scores)
         gap = self.gap
         interpret = self.interpret
 
@@ -519,7 +520,7 @@ class TpuReadAligner:
             windows = unpack(pwins, W)
             score, i_end, j_end, i0, j0, packed = banded_align_full(
                 rs, windows, n_vec, m_vec, scores, L=L, W=W, gap=gap,
-                interpret=interpret)
+                interpret=interpret, prof16=p16)
             meta = jnp.stack([score, i_end, j_end, i0, j0],
                              axis=1).astype(jnp.int32)
             meta8 = jax.lax.bitcast_convert_type(
