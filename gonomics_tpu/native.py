@@ -64,6 +64,11 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p]
+            lib.lookup_u64.restype = None
+            lib.lookup_u64.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32]
             lib.cv_prescreen.restype = ctypes.c_int64
             lib.cv_prescreen.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -225,6 +230,25 @@ def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
     if wrote < 0:
         return None
     return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def lookup_u64(table: np.ndarray, queries: np.ndarray,
+               nthreads: int = 0):
+    """Threaded lower/upper-bound search of sorted uint64 `table` for
+    each query; returns (lo, hi) int32 arrays or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        nthreads = min(4, os.cpu_count() or 1)
+    q = np.ascontiguousarray(queries, np.uint64)
+    lo = np.empty(q.shape, np.int32)
+    hi = np.empty(q.shape, np.int32)
+    vp = ctypes.c_void_p
+    lib.lookup_u64(table.ctypes.data_as(vp), len(table),
+                   q.ctypes.data_as(vp), q.size,
+                   lo.ctypes.data_as(vp), hi.ctypes.data_as(vp), nthreads)
+    return lo, hi
 
 
 def cv_prescreen(cnt2_list, depth_list, offs, spans, ins_pos, ins_tot,

@@ -316,20 +316,27 @@ class TpuReadAligner:
                                            self._shard_ps, qhi, qlo)
             return (np.asarray(jax.device_get(hp)).astype(np.int64),
                     np.asarray(jax.device_get(valid)))
-        # sort the queries first: successive binary searches then land in
-        # nearby table regions, which roughly halves the cache-miss cost
-        # of probing the multi-GB table
-        q = codes.ravel()
-        order = np.argsort(q, kind="stable")
-        qs = q[order]
-        lo_s = np.searchsorted(self.idx_codes, qs, side="left")
-        hi_s = np.searchsorted(self.idx_codes, qs, side="right")
-        lo = np.empty_like(lo_s)
-        hi = np.empty_like(hi_s)
-        lo[order] = lo_s
-        hi[order] = hi_s
-        lo = lo.reshape(B, K)
-        hi = np.minimum(hi.reshape(B, K), lo + H)
+        from . import native
+
+        got = native.lookup_u64(self.idx_codes, codes)
+        if got is not None:  # threaded GIL-free binary search
+            lo, hi = got
+            lo = lo.reshape(B, K).astype(np.int64)
+            hi = hi.reshape(B, K).astype(np.int64)
+        else:
+            # numpy fallback: probe in sorted-query order for locality
+            q = codes.ravel()
+            order = np.argsort(q, kind="stable")
+            qs = q[order]
+            lo_s = np.searchsorted(self.idx_codes, qs, side="left")
+            hi_s = np.searchsorted(self.idx_codes, qs, side="right")
+            lo = np.empty_like(lo_s)
+            hi = np.empty_like(hi_s)
+            lo[order] = lo_s
+            hi[order] = hi_s
+            lo = lo.reshape(B, K)
+            hi = hi.reshape(B, K)
+        hi = np.minimum(hi, lo + H)
         take = lo[:, :, None] + np.arange(H)[None, None, :]  # (B, K, H)
         valid = take < hi[:, :, None]
         take = np.clip(take, 0, len(self.idx_pos) - 1)

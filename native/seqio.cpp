@@ -10,6 +10,7 @@
 //
 // Exposed as a C ABI for Python ctypes (gonomics_tpu/native.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -682,6 +683,36 @@ void runs_to_counts(const int32_t* starts, const int32_t* lens,
     } else {
         std::vector<std::thread> pool;
         for (int t = 0; t < nthreads; t++) pool.emplace_back(sweep, t);
+        for (auto& th : pool) th.join();
+    }
+}
+
+// Batched binary search over the sorted k-mer code table (the read
+// aligner's seed lookup): lower/upper bound per query, threaded. The
+// numpy searchsorted pair held the GIL and dominated host prep on
+// multi-GB tables (cache-miss bound); this version splits queries
+// across threads and runs lock-free.
+void lookup_u64(const uint64_t* table, int64_t n, const uint64_t* q,
+                int64_t nq, int32_t* lo_out, int32_t* hi_out,
+                int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    int64_t chunk = (nq + nthreads - 1) / nthreads;
+    auto work = [&](int t) {
+        int64_t a = t * chunk;
+        int64_t b = a + chunk < nq ? a + chunk : nq;
+        for (int64_t i = a; i < b; i++) {
+            uint64_t v = q[i];
+            const uint64_t* lo = std::lower_bound(table, table + n, v);
+            const uint64_t* hi = std::upper_bound(lo, table + n, v);
+            lo_out[i] = (int32_t)(lo - table);
+            hi_out[i] = (int32_t)(hi - table);
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
         for (auto& th : pool) th.join();
     }
 }
