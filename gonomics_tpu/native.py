@@ -64,6 +64,14 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p]
+            lib.seed_vote.restype = None
+            lib.seed_vote.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32]
             lib.lookup_u64.restype = None
             lib.lookup_u64.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -230,6 +238,36 @@ def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
     if wrote < 0:
         return None
     return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def seed_vote(fwd, rev, offs, k: int, table_codes, table_pos,
+              max_hits: int, nthreads: int = 0):
+    """Seed lookup + modal-diagonal voting for a whole batch in one
+    threaded C pass (tpu_align._candidates semantics, bit-exact).
+    Returns (diag, votes, second, strand) or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        nthreads = min(4, os.cpu_count() or 1)
+    fwd = np.ascontiguousarray(fwd, np.int8)
+    rev = np.ascontiguousarray(rev, np.int8)
+    offs = np.ascontiguousarray(offs, np.int32)
+    tpos = np.ascontiguousarray(table_pos, np.int32)
+    B, L = fwd.shape
+    diag = np.empty(B, np.int64)
+    votes = np.empty(B, np.int64)
+    second = np.empty(B, np.int64)
+    strand = np.empty(B, np.uint8)
+    vp = ctypes.c_void_p
+    lib.seed_vote(fwd.ctypes.data_as(vp), rev.ctypes.data_as(vp), B, L,
+                  offs.ctypes.data_as(vp), len(offs), k,
+                  table_codes.ctypes.data_as(vp),
+                  tpos.ctypes.data_as(vp), len(table_codes), max_hits,
+                  diag.ctypes.data_as(vp), votes.ctypes.data_as(vp),
+                  second.ctypes.data_as(vp), strand.ctypes.data_as(vp),
+                  nthreads)
+    return diag, votes, second, strand.view(bool)
 
 
 def lookup_u64(table: np.ndarray, queries: np.ndarray,

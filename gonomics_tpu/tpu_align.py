@@ -387,11 +387,20 @@ class TpuReadAligner:
         return diag, votes, second
 
     def _candidates(self, fwd: np.ndarray, rev: np.ndarray) -> _Candidate:
-        # one index lookup for both strands (searchsorted over the big
-        # table is the prep hot spot; halving the calls helps the cache)
         B, L = fwd.shape
         K = self.read_kmers
         offs = np.linspace(0, L - self.k, K).astype(np.int64)
+        if self._shard_lookup is None:
+            from . import native
+
+            got = native.seed_vote(fwd, rev, offs, self.k,
+                                   self.idx_codes, self.idx_pos,
+                                   self.max_hits)
+            if got is not None:  # whole seed+vote stage, one C pass
+                diag, votes, second, strand = got
+                return _Candidate(diag=diag, votes=votes, second=second,
+                                  strand=strand)
+        # numpy fallback: one index lookup for both strands
         codes = np.concatenate([_batch_codes(fwd, offs, self.k),
                                 _batch_codes(rev, offs, self.k)])
         hitpos, valid = self._lookup_hits(codes)

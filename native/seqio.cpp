@@ -717,6 +717,117 @@ void lookup_u64(const uint64_t* table, int64_t n, const uint64_t* q,
     }
 }
 
+namespace {
+
+// one strand's modal-diagonal vote, replicating tpu_align._vote exactly:
+// sort the <=K*H candidate diagonals (invalid = -1), longest equal run
+// wins (ties -> the earlier/smaller diagonal), runner-up = longest run
+// with the winner masked out.
+void vote_one(int64_t* diags, int n, int64_t* diag_out, int64_t* votes_out,
+              int64_t* second_out) {
+    std::sort(diags, diags + n);
+    int64_t best_len = -1, best_diag = -1;
+    {
+        int run = 0;
+        for (int j = 0; j < n; j++) {
+            run = (j > 0 && diags[j] == diags[j - 1]) ? run + 1 : 0;
+            int64_t r = diags[j] == -1 ? -1 : run;
+            if (r > best_len) {
+                best_len = r;
+                best_diag = diags[j];
+            }
+        }
+    }
+    if (best_diag == -1) {
+        *diag_out = -1;
+        *votes_out = 0;
+    } else {
+        *diag_out = best_diag;
+        *votes_out = best_len + 1;
+    }
+    // runner-up on the masked list (numpy: masked == -1 entries and the
+    // winner excluded from run formation)
+    int64_t sec = 0;
+    bool any = false;
+    int run2 = 0;
+    int64_t prev = INT64_MIN;
+    for (int j = 0; j < n; j++) {
+        int64_t v = diags[j] == best_diag ? -1 : diags[j];
+        if (v != -1) any = true;
+        run2 = (j > 0 && v == prev && v != -1) ? run2 + 1 : 0;
+        if (run2 + 1 > sec) sec = run2 + 1;
+        prev = v;
+    }
+    *second_out = any ? sec : 0;
+}
+
+}  // namespace
+
+// Seed lookup + modal-diagonal voting for a whole read batch in one
+// threaded pass (tpu_align._candidates: _batch_codes + searchsorted +
+// _vote). Exactly the numpy semantics, including the
+// runner-up-vs-other-strand max. k-mer windows containing any code >= 4
+// never match (the sentinel-code rule).
+void seed_vote(const int8_t* fwd, const int8_t* rev, int64_t B, int64_t L,
+               const int32_t* offs, int32_t K, int32_t k,
+               const uint64_t* table, const int32_t* tpos, int64_t n,
+               int32_t H,
+               int64_t* diag_out, int64_t* votes_out, int64_t* second_out,
+               uint8_t* strand_out, int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    int64_t chunk = (B + nthreads - 1) / nthreads;
+    auto work = [&](int t) {
+        std::vector<int64_t> dbuf((size_t)K * H);
+        int64_t b0 = t * chunk;
+        int64_t b1 = b0 + chunk < B ? b0 + chunk : B;
+        for (int64_t b = b0; b < b1; b++) {
+            int64_t dv[2], vv[2], sv[2];
+            for (int s = 0; s < 2; s++) {
+                const int8_t* seq = (s == 0 ? fwd : rev) + b * L;
+                int idx = 0;
+                for (int32_t q = 0; q < K; q++) {
+                    int32_t off = offs[q];
+                    uint64_t code = 0;
+                    bool bad = false;
+                    for (int32_t i = 0; i < k; i++) {
+                        int8_t c = seq[off + i];
+                        if (c >= 4 || c < 0) bad = true;
+                        code = (code << 2) | (uint64_t)(c & 3);
+                    }
+                    int64_t lo = 0, hi = 0;
+                    if (!bad) {
+                        const uint64_t* l =
+                            std::lower_bound(table, table + n, code);
+                        const uint64_t* h =
+                            std::upper_bound(l, table + n, code);
+                        lo = l - table;
+                        hi = h - table;
+                        if (hi > lo + H) hi = lo + H;
+                    }
+                    for (int32_t j = 0; j < H; j++)
+                        dbuf[idx++] = lo + j < hi
+                            ? (int64_t)tpos[lo + j] - off : -1;
+                }
+                vote_one(dbuf.data(), idx, &dv[s], &vv[s], &sv[s]);
+            }
+            bool use_fwd = vv[0] >= vv[1];
+            diag_out[b] = use_fwd ? dv[0] : dv[1];
+            votes_out[b] = use_fwd ? vv[0] : vv[1];
+            int64_t oth = use_fwd ? vv[1] : vv[0];
+            int64_t sec = use_fwd ? sv[0] : sv[1];
+            second_out[b] = sec > oth ? sec : oth;
+            strand_out[b] = use_fwd ? 1 : 0;
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+}
+
 // callVariants candidate prescreen over the dense per-sample count
 // arrays (the numpy body of cli/call_variants.py's per-chromosome loop,
 // done in one threaded C pass): computes per-sample exists/depth rows,
