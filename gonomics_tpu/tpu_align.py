@@ -495,6 +495,10 @@ class TpuReadAligner:
                 jnp.asarray(self._pack4(read_seqs)),
                 jnp.asarray(self._pack4(windows)),
                 jnp.asarray(n_vec), jnp.asarray(m_vec))
+            # schedule the device->host copy NOW: it runs as soon as the
+            # kernel finishes, so finish_batch usually finds the bytes
+            # already on host instead of paying the tunnel latency there
+            res.copy_to_host_async()
             walk_d = L + 64 + 4
         return reads, cand, starts, lens, read_seqs, res, walk_d
 
