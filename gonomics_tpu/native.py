@@ -64,6 +64,13 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p]
+            lib.walk_to_cigars.restype = ctypes.c_int64
+            lib.walk_to_cigars.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int32]
             lib.seed_vote.restype = None
             lib.seed_vote.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -238,6 +245,41 @@ def format_sam_lines(qnames: str, names: list[str], flags, rsel, poss,
     if wrote < 0:
         return None
     return ctypes.string_at(buf, int(wrote)).decode()
+
+
+def walk_to_cigars(packed, D: int, i0, i_end, lens, mapped,
+                   nthreads: int = 0):
+    """Packed walk ops -> forward flat cigar runs + soft clips for the
+    whole batch (unpack_ops + _flat_cigars in one threaded C pass).
+    Returns (cig_off, cig_cnt, run_lens, run_ops, mapped) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        nthreads = min(4, os.cpu_count() or 1)
+    packed = np.ascontiguousarray(packed, np.uint8)
+    B, P = packed.shape
+    i0 = np.ascontiguousarray(i0, np.int32)
+    i_end = np.ascontiguousarray(i_end, np.int32)
+    lens = np.ascontiguousarray(lens, np.int32)
+    mp = np.ascontiguousarray(mapped, np.uint8).copy()
+    cig_off = np.empty(B, np.int32)
+    cig_cnt = np.empty(B, np.int32)
+    cap = B * (D + 4)
+    run_lens = np.empty(cap, np.int32)
+    run_ops = np.empty(cap, np.uint8)
+    vp = ctypes.c_void_p
+    total = lib.walk_to_cigars(
+        packed.ctypes.data_as(vp), B, P, D,
+        i0.ctypes.data_as(vp), i_end.ctypes.data_as(vp),
+        lens.ctypes.data_as(vp), mp.ctypes.data_as(vp),
+        cig_off.ctypes.data_as(vp), cig_cnt.ctypes.data_as(vp),
+        run_lens.ctypes.data_as(vp), run_ops.ctypes.data_as(vp),
+        cap, nthreads)
+    if total < 0:
+        return None
+    t = int(total)
+    return cig_off, cig_cnt, run_lens[:t], run_ops[:t], mp.view(bool)
 
 
 def seed_vote(fwd, rev, offs, k: int, table_codes, table_pos,

@@ -597,16 +597,22 @@ class TpuReadAligner:
         if not native.available() or not (lens == lens[0]).all():
             return "".join(s.to_string() + "\n"
                            for s in self.finish_batch(handle))
+        from . import native as _native
         from .ops.wavefront import unpack_ops
 
         score, i_end, _j, i0, j0, packed = (np.asarray(x)
                                             for x in self._decode_res(res))
         score, i_end, i0, j0 = (x[:B] for x in (score, i_end, i0, j0))
-        ops = unpack_ops(packed[:B], walk_d)
 
         mapped = (score >= self.min_score) & (cand.votes > 0)
-        cig_off, cig_cnt, run_lens, run_ops, mapped = \
-            self._flat_cigars(ops, i0, i_end, lens, mapped)
+        got = _native.walk_to_cigars(packed[:B], walk_d, i0, i_end, lens,
+                                     mapped)
+        if got is not None:
+            cig_off, cig_cnt, run_lens, run_ops, mapped = got
+        else:
+            ops = unpack_ops(packed[:B], walk_d)
+            cig_off, cig_cnt, run_lens, run_ops, mapped = \
+                self._flat_cigars(ops, i0, i_end, lens, mapped)
 
         gpos = starts[:B] + j0
         ci = np.searchsorted(self._starts_arr, gpos, side="right") - 1

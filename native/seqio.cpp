@@ -717,6 +717,102 @@ void lookup_u64(const uint64_t* table, int64_t n, const uint64_t* q,
     }
 }
 
+// Packed 2-bit walk ops -> forward flattened cigar runs with soft
+// clips, for the whole batch (tpu_align unpack_ops + _flat_cigars in
+// one threaded pass). Crumb codes 0=M, 1=D, 2=I, 3=stop; the walk is
+// backward, so forward order reverses the runs. Returns total run
+// count, or -1 if run_cap is too small. mapped[b] is updated in place
+// (cleared when the walk has no ops).
+int64_t walk_to_cigars(const uint8_t* packed, int64_t B, int64_t P,
+                       int64_t D, const int32_t* i0, const int32_t* i_end,
+                       const int32_t* lens, uint8_t* mapped,
+                       int32_t* cig_off, int32_t* cig_cnt,
+                       int32_t* run_lens, uint8_t* run_ops,
+                       int64_t run_cap, int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    int64_t chunk = (B + nthreads - 1) / nthreads;
+    // pass 1: per-read backward-RLE into scratch, counts only
+    std::vector<int32_t> nmid(B);
+    auto pass1 = [&](int t) {
+        int64_t b0 = t * chunk, b1 = b0 + chunk < B ? b0 + chunk : B;
+        for (int64_t b = b0; b < b1; b++) {
+            const uint8_t* pk = packed + b * P;
+            int32_t runs = 0;
+            int prev = -1;
+            for (int64_t j = 0; j < D; j++) {
+                int code = (pk[j >> 2] >> ((j & 3) * 2)) & 3;
+                if (code == 3) break;
+                if (code != prev) runs++;
+                prev = code;
+            }
+            nmid[b] = runs;
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(pass1, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (int64_t b = 0; b < B; b++) {
+        bool m = mapped[b] && nmid[b] > 0;
+        mapped[b] = m;
+        int32_t lead = m && i0[b] > 0;
+        int32_t trail = m && i_end[b] < lens[b];
+        cig_cnt[b] = m ? nmid[b] + lead + trail : 0;
+        cig_off[b] = (int32_t)total;
+        total += cig_cnt[b];
+    }
+    if (total > run_cap) return -1;
+    // pass 2: fill runs forward (reverse of the walk) + clips
+    auto pass2 = [&](int t) {
+        int64_t b0 = t * chunk, b1 = b0 + chunk < B ? b0 + chunk : B;
+        const uint8_t OPS[3] = {'M', 'D', 'I'};
+        for (int64_t b = b0; b < b1; b++) {
+            if (!mapped[b]) continue;
+            const uint8_t* pk = packed + b * P;
+            int32_t lead = i0[b] > 0;
+            int32_t trail = i_end[b] < lens[b];
+            int32_t base = cig_off[b];
+            if (lead) {
+                run_lens[base] = i0[b];
+                run_ops[base] = 'S';
+            }
+            if (trail) {
+                int32_t k = base + cig_cnt[b] - 1;
+                run_lens[k] = lens[b] - i_end[b];
+                run_ops[k] = 'S';
+            }
+            // write mid runs back-to-front of the mid segment
+            int32_t w = base + lead + nmid[b] - 1;
+            int prev = -1;
+            int32_t rl = 0;
+            for (int64_t j = 0; j < D; j++) {
+                int code = (pk[j >> 2] >> ((j & 3) * 2)) & 3;
+                if (code == 3) break;
+                if (code != prev && prev != -1) {
+                    run_lens[w] = rl;
+                    run_ops[w] = OPS[prev];
+                    w--;
+                    rl = 0;
+                }
+                rl++;
+                prev = code;
+            }
+            if (prev != -1) {
+                run_lens[w] = rl;
+                run_ops[w] = OPS[prev];
+            }
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(pass2, t);
+        for (auto& th : pool) th.join();
+    }
+    return total;
+}
+
 namespace {
 
 // one strand's modal-diagonal vote, replicating tpu_align._vote exactly:
