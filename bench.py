@@ -221,7 +221,7 @@ for _ in range(2):  # warm-up/compile (fwd + fused-backward traces)
     affine_gap_lowmem_batch(alphas, betas, HUMAN_CHIMP_TWO, -600, -150,
                             checkersize=1024)
 dt = 1e9
-for _ in range(3):
+for _ in range(5):
     t0 = time.perf_counter()
     affine_gap_lowmem_batch(alphas, betas, HUMAN_CHIMP_TWO, -600, -150,
                             checkersize=1024)
