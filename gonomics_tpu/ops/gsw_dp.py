@@ -222,6 +222,8 @@ class GswDpBatch:
             res = fn(jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
                      jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
                      interpret=self.interpret, prof16=self._prof16)
+            if hasattr(res, "copy_to_host_async"):
+                res.copy_to_host_async()  # stream back as soon as done
             handles.append((res, used, n + m))
         return handles
 
