@@ -286,7 +286,8 @@ out = {"reads_per_s_1chip": round(best),
        "reads_config": "150bp x 4096/batch, 1Mbp genome, end-to-end SAM "
                        "text, 3-stage prep/device/assemble pipeline"}
 
-# graph engine: variant graph of a 200 kb genome, reads along its paths
+# graph engine: variant graph of a 200 kb genome, reads along its paths,
+# reference-default seed params (cmd/gsw/gsw.go:53-57: -i 32 -w 32)
 from gonomics_tpu.graph import variant_graph
 from gonomics_tpu.gsw_tpu import TpuGswAligner
 from gonomics_tpu.io.vcf import Vcf
@@ -300,9 +301,9 @@ for pos in range(1000, g_len - 1000, 4000):
                     alt=[dna.to_string((ref[pos - 1:pos] + 1) % 4)],
                     info="SVTYPE=SNP"))
 g = variant_graph([Fasta("chr1", ref)], {"chr1": vcfs})
-aligner = TpuGswAligner(g, seed_len=21, step_size=8)
+aligner = TpuGswAligner(g)
 
-GB, GL = 256, 150
+GB, GL = 2048, 150
 def graph_reads(seed):
     r = np.random.default_rng(seed)
     reads = []
@@ -315,16 +316,26 @@ def graph_reads(seed):
         reads.append(to_big(Fastq(f"g{i}", seq, np.full(GL, 30, np.uint8))))
     return reads
 
-aligner.align_batch(graph_reads(0))  # warm-up/compile
-aligner.align_batch(graph_reads(3))  # second warm-up: sticky DP-shape
-# buckets settle (chunked job counts + 64-bucketed length dims)
+for w in (0, 3):  # warm-up/compile; sticky DP-shape buckets settle
+    aligner.align_batch(graph_reads(w))
+gbatches = [graph_reads(s) for s in (4, 5, 6, 7)]
 best = 0.0
-for s in (1, 2):
-    t0 = time.perf_counter()
-    aligner.align_batch(graph_reads(s))
-    best = max(best, GB / (time.perf_counter() - t0))
+with ThreadPoolExecutor(max_workers=1) as gex:
+    for _ in range(3):
+        t0 = time.perf_counter()
+        futs = deque()
+        for reads in gbatches:
+            h = aligner.align_batch_async(reads)
+            futs.append(gex.submit(aligner.finish_batch, h))
+            while len(futs) > 1:
+                futs.popleft().result()
+        while futs:
+            futs.popleft().result()
+        best = max(best, len(gbatches) * GB / (time.perf_counter() - t0))
 out["graph_reads_per_s"] = round(best, 1)
-out["graph_config"] = "150bp x 256/batch, 200kb variant graph (50 SNP nodes), giraf"
+out["graph_config"] = ("150bp x 2048/batch, 200kb variant graph (50 SNP "
+                       "nodes), giraf, seed 32 step 32 (gsw defaults), "
+                       "2-deep pipelined")
 print(json.dumps(out))
 """, timeout=1800)
 

@@ -84,6 +84,14 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int32]
+            lib.graph_hits.restype = ctypes.c_int64
+            lib.graph_hits.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
             lib.cv_prescreen.restype = ctypes.c_int64
             lib.cv_prescreen.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -310,6 +318,48 @@ def seed_vote(fwd, rev, offs, k: int, table_codes, table_pos,
                   second.ctypes.data_as(vp), strand.ctypes.data_as(vp),
                   nthreads)
     return diag, votes, second, strand.view(bool)
+
+
+def graph_hits(seq2: np.ndarray, row_len: np.ndarray, k: int,
+               codes: np.ndarray, packed: np.ndarray, concat: np.ndarray,
+               noff: np.ndarray, nlen: np.ndarray, has_next: np.ndarray,
+               prev_cnt: np.ndarray, nthreads: int = 0):
+    """Batched graph seed hits (rolling k-mer codes -> sorted-table
+    binary search -> maximal exact-run extents + crossing flags) in one
+    threaded GIL-free C pass; the hot loop of the graph aligner's seed
+    finder. Returns an (H, 8) int64 array
+    (row, rs, node, rs0, np0, right_run, cross_right, maybe_left) in
+    row-major probe order, or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        nthreads = min(4, os.cpu_count() or 1)
+    seq2 = np.ascontiguousarray(seq2, np.int8)
+    row_len = np.ascontiguousarray(row_len, np.int32)
+    packed = np.ascontiguousarray(packed, np.int64)
+    concat = np.ascontiguousarray(concat, np.int8)
+    noff = np.ascontiguousarray(noff, np.int64)
+    nlen = np.ascontiguousarray(nlen, np.int64)
+    has_next = np.ascontiguousarray(has_next, np.uint8)
+    prev_cnt = np.ascontiguousarray(prev_cnt, np.int32)
+    R2, Lmax = seq2.shape
+    cap = max(1024, 64 * R2)
+    vp = ctypes.c_void_p
+    for _ in range(3):
+        out = np.empty((cap, 8), np.int64)
+        total = lib.graph_hits(
+            seq2.ctypes.data_as(vp), R2, Lmax,
+            row_len.ctypes.data_as(vp), k,
+            codes.ctypes.data_as(vp), len(codes),
+            packed.ctypes.data_as(vp), concat.ctypes.data_as(vp),
+            noff.ctypes.data_as(vp), nlen.ctypes.data_as(vp),
+            has_next.ctypes.data_as(vp), prev_cnt.ctypes.data_as(vp),
+            out.ctypes.data_as(vp), cap, nthreads)
+        if total <= cap:
+            return out[:total]
+        cap = int(total)
+    return None
 
 
 def lookup_u64(table: np.ndarray, queries: np.ndarray,

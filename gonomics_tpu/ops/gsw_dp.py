@@ -157,6 +157,44 @@ def _pack_result(score, i0, j0, ops, D: int):
     return jnp.concatenate([meta8, packed], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("nl", "ml", "nr", "mr",
+                                             "gap", "interpret", "prof16"))
+def _both_full(pal_l, pbe_l, nvl, mvl, pal_r, pbe_r, nvr, mvr, scores, *,
+               nl, ml, nr, mr, gap, interpret, prof16=False):
+    """One fused wave dispatch: left-kernel rows + right-kernel rows,
+    4-bit-packed inputs, ONE packed uint8 result array (left rows then
+    right rows, widths padded to the max) — each extra device<->host
+    array costs a tunnel round-trip (~4-8 ms), which dominated the graph
+    engine's waves."""
+
+    def unpack(pk, n):
+        lo = (pk & 0xF).astype(jnp.int8)
+        hi = ((pk >> 4) & 0xF).astype(jnp.int8)
+        return jnp.stack([lo, hi], axis=-1).reshape(pk.shape[0], -1)[:, :n]
+
+    pl = _left_full(unpack(pal_l, nl), unpack(pbe_l, ml), nvl, mvl,
+                    scores, n=nl, m=ml, gap=gap, interpret=interpret,
+                    prof16=prof16)
+    pr = _right_full(unpack(pal_r, nr), unpack(pbe_r, mr), nvr, mvr,
+                     scores, n=nr, m=mr, gap=gap, interpret=interpret,
+                     prof16=prof16)
+    W = max(pl.shape[1], pr.shape[1])
+    pl = jnp.pad(pl, ((0, 0), (0, W - pl.shape[1])))
+    pr = jnp.pad(pr, ((0, 0), (0, W - pr.shape[1])))
+    return jnp.concatenate([pl, pr], axis=0)
+
+
+def _pack4(seqs: np.ndarray) -> np.ndarray:
+    """Two 4-bit base codes per byte (codes 0..12 fit) — halves the
+    host->device upload through the tunnel."""
+    B, L = seqs.shape
+    if L % 2:
+        seqs = np.concatenate(
+            [seqs, np.full((B, 1), 4, np.int8)], axis=1)
+    u = seqs.astype(np.uint8)
+    return (u[:, ::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+
+
 def _pad_jobs(jobs, n: int, m: int):
     """jobs: list of (alpha, beta) int8 arrays -> padded batch tensors."""
     B = len(jobs)
@@ -199,9 +237,152 @@ class GswDpBatch:
         self._prof16 = profile_fits16(self.scores)
         self._dims = {"left": [64, 64], "right": [64, 64]}  # sticky n, m
 
+    ACHUNK = 1024  # row-chunk size for the prebuilt-array API
+
     @staticmethod
     def _bucket(x: int) -> int:
         return max(64, _round_up(x, 64))
+
+    def dims_for(self, side: str, n: int, m: int) -> tuple[int, int]:
+        """Grow this side's sticky compiled dims to cover (n, m) and
+        return them — callers build job tensors at these dims so the
+        kernel shape (and its ~30s tunnel recompile) stays stable."""
+        dims = self._dims[side]
+        dims[0] = max(dims[0], self._bucket(n))
+        dims[1] = max(dims[1], self._bucket(m))
+        return dims[0], dims[1]
+
+    def start_padded(self, side: str, al: np.ndarray, be: np.ndarray,
+                     nv: np.ndarray, mv: np.ndarray):
+        """Array-input dispatch: al (N, n) genome windows, be (N, m) read
+        parts, nv/mv (N,) true lengths, all prebuilt at dims_for(side)
+        shapes (the graph engine's vectorized window gather). Rows are
+        chunked to a fixed batch so compiled shapes never vary."""
+        if len(al) == 0:
+            return []
+        n, m = al.shape[1], be.shape[1]
+        dn, dm = self.dims_for(side, n, m)
+        if (dn, dm) != (n, m):  # sticky dims grew beyond the request
+            al = np.pad(al, ((0, 0), (0, dn - n)), constant_values=4)
+            be = np.pad(be, ((0, 0), (0, dm - m)), constant_values=4)
+            n, m = dn, dm
+        fn = _left_full if side == "left" else _right_full
+        handles = []
+        C = self.ACHUNK
+        N = len(al)
+        for c0 in range(0, N, C):
+            used = min(C, N - c0)
+            rows = C
+            alc = np.full((rows, n), 4, np.int8)
+            bec = np.full((rows, m), 4, np.int8)
+            nvc = np.zeros((rows, 1), np.int32)
+            mvc = np.zeros((rows, 1), np.int32)
+            alc[:used] = al[c0:c0 + used]
+            bec[:used] = be[c0:c0 + used]
+            nvc[:used, 0] = nv[c0:c0 + used]
+            mvc[:used, 0] = mv[c0:c0 + used]
+            res = fn(jnp.asarray(alc), jnp.asarray(bec), jnp.asarray(nvc),
+                     jnp.asarray(mvc), self.scores, n=n, m=m, gap=self.gap,
+                     interpret=self.interpret, prof16=self._prof16)
+            if hasattr(res, "copy_to_host_async"):
+                res.copy_to_host_async()
+            handles.append((res, used, n + m))
+        return handles
+
+    def start_wave(self, al_l, be_l, nv_l, mv_l, al_r, be_r, nv_r, mv_r):
+        """Fused dispatch of one wave: left rows + right rows in ONE
+        jitted call -> ONE packed result array per chunk. Inputs are
+        int8 job tensors prebuilt at dims_for('left'/'right') widths;
+        rows are chunked to a fixed ACHUNK so compiled shapes never
+        vary. Uploads go 4-bit packed."""
+        nl, ml = self._dims["left"]
+        nr, mr = self._dims["right"]
+        Nl, Nr = len(al_l), len(al_r)
+        if Nl == 0 and Nr == 0:
+            return []
+        # two compiled row shapes: full chunks plus a small variant so
+        # the tail waves (a few surviving reads) don't pay a full-width
+        # upload+compute for mostly-padding rows
+        C = 256 if max(Nl, Nr) <= 256 else self.ACHUNK
+        handles = []
+        for c0 in range(0, max(Nl, Nr), C):
+            ul = max(0, min(C, Nl - c0))
+            ur = max(0, min(C, Nr - c0))
+
+            def chunk(a, used, n, fill):
+                out = np.full((C, n), fill, a.dtype if used else np.int8)
+                if used:
+                    out[:used] = a[c0:c0 + used]
+                return out
+
+            pal_l = _pack4(chunk(al_l, ul, nl, 4))
+            pbe_l = _pack4(chunk(be_l, ul, ml, 4))
+            pal_r = _pack4(chunk(al_r, ur, nr, 4))
+            pbe_r = _pack4(chunk(be_r, ur, mr, 4))
+            nvl = np.zeros((C, 1), np.int32)
+            mvl = np.zeros((C, 1), np.int32)
+            nvr = np.zeros((C, 1), np.int32)
+            mvr = np.zeros((C, 1), np.int32)
+            nvl[:ul, 0] = nv_l[c0:c0 + ul]
+            mvl[:ul, 0] = mv_l[c0:c0 + ul]
+            nvr[:ur, 0] = nv_r[c0:c0 + ur]
+            mvr[:ur, 0] = mv_r[c0:c0 + ur]
+            res = _both_full(jnp.asarray(pal_l), jnp.asarray(pbe_l),
+                             jnp.asarray(nvl), jnp.asarray(mvl),
+                             jnp.asarray(pal_r), jnp.asarray(pbe_r),
+                             jnp.asarray(nvr), jnp.asarray(mvr),
+                             self.scores, nl=nl, ml=ml, nr=nr, mr=mr,
+                             gap=self.gap, interpret=self.interpret,
+                             prof16=self._prof16)
+            if hasattr(res, "copy_to_host_async"):
+                res.copy_to_host_async()
+            handles.append((res, ul, ur, nl + ml, nr + mr, C))
+        return handles
+
+    @staticmethod
+    def finish_wave(handles):
+        """(lmeta (Nl,3), lops (Nl,Dl), rmeta (Nr,3), rops (Nr,Dr))
+        across all chunks of one start_wave call."""
+        from .wavefront import unpack_ops
+
+        if not handles:
+            z3 = np.zeros((0, 3), np.int32)
+            z = np.zeros((0, 0), np.int8)
+            return z3, z, z3.copy(), z.copy()
+        for res, *_ in handles:
+            if hasattr(res, "copy_to_host_async"):
+                res.copy_to_host_async()
+        fetched = jax.device_get([h[0] for h in handles])
+        lm, lo_, rm, ro = [], [], [], []
+        for (_, ul, ur, Dl, Dr, C), buf in zip(handles, fetched):
+            buf = np.asarray(buf)
+            lbuf, rbuf = buf[:C], buf[C:]
+            lm.append(np.ascontiguousarray(lbuf[:ul, :12]).view(np.int32))
+            lo_.append(unpack_ops(lbuf[:ul, 12:12 + ((Dl + 3) // 4)], Dl))
+            rm.append(np.ascontiguousarray(rbuf[:ur, :12]).view(np.int32))
+            ro.append(unpack_ops(rbuf[:ur, 12:12 + ((Dr + 3) // 4)], Dr))
+        return (np.concatenate(lm), np.concatenate(lo_),
+                np.concatenate(rm), np.concatenate(ro))
+
+    @staticmethod
+    def finish_padded(handles) -> tuple[np.ndarray, np.ndarray]:
+        """(meta (N, 3) int32 [score, i, j], ops (N, D) int8) across all
+        chunks of one start_padded call."""
+        from .wavefront import unpack_ops
+
+        if not handles:
+            return np.zeros((0, 3), np.int32), np.zeros((0, 0), np.int8)
+        for res, _, _ in handles:
+            if hasattr(res, "copy_to_host_async"):
+                res.copy_to_host_async()
+        fetched = jax.device_get([res for res, _, _ in handles])
+        metas, opss = [], []
+        for (_, used, D), buf in zip(handles, fetched):
+            buf = np.asarray(buf)
+            metas.append(np.ascontiguousarray(buf[:used, :12])
+                         .view(np.int32))
+            opss.append(unpack_ops(buf[:used, 12:], D))
+        return np.concatenate(metas), np.concatenate(opss)
 
     def _start(self, side: str, jobs):
         """Dispatch all fixed-size chunks for one side; returns handles."""

@@ -1238,4 +1238,98 @@ int sam_scatter(const uint8_t* text, int64_t n,
     return 0;
 }
 
+// Graph-aligner batched seed hits (the host loop of
+// gsw.find_seeds_batch, reference genomeGraph/search.go:425-589 +
+// index.go:21-98 semantics): for every read row (fwd/rc interleaved),
+// roll 2-bit k-mer codes over N-free windows, binary-search the sorted
+// (code -> node<<32|pos) table, and for each hit compute the maximal
+// exact-match run through the node plus the boundary-crossing flags.
+// Emits (row, rs, node, rs0, np0, right_run, cross_right, maybe_left)
+// int64 rows in row-major probe order — exactly the emission order of
+// the numpy path. Returns total hits (caller re-calls with a bigger
+// buffer when it exceeds cap). Threaded over rows, GIL-free.
+int64_t graph_hits(const int8_t* seq, int64_t R2, int64_t Lmax,
+                   const int32_t* row_len, int32_t k,
+                   const uint64_t* codes, int64_t ncodes,
+                   const int64_t* packed,
+                   const int8_t* concat,
+                   const int64_t* noff, const int64_t* nlen,
+                   const uint8_t* has_next, const int32_t* prev_cnt,
+                   int64_t* out, int64_t cap, int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::vector<int64_t>> bufs(nthreads);
+    int64_t rows_per = (R2 + nthreads - 1) / nthreads;
+    auto work = [&](int t) {
+        std::vector<int64_t>& buf = bufs[t];
+        int64_t r0 = t * rows_per;
+        int64_t r1 = r0 + rows_per < R2 ? r0 + rows_per : R2;
+        const uint64_t mask = k == 32 ? ~0ULL
+                                      : ((1ULL << (2 * k)) - 1);
+        for (int64_t row = r0; row < r1; row++) {
+            const int8_t* s = seq + row * Lmax;
+            int64_t L = row_len[row];
+            if (L < k) continue;
+            uint64_t code = 0;
+            int64_t last_bad = -1;
+            for (int64_t p = 0; p < L; p++) {
+                int8_t b = s[p];
+                if (b >= 4 || b < 0) { last_bad = p; b = 0; }
+                code = ((code << 2) | (uint64_t)b) & mask;
+                int64_t rs = p - k + 1;
+                if (rs < 0 || last_bad >= rs) continue;
+                const uint64_t* lo = std::lower_bound(codes,
+                                                      codes + ncodes, code);
+                const uint64_t* hi = std::upper_bound(lo, codes + ncodes,
+                                                      code);
+                for (const uint64_t* it = lo; it != hi; it++) {
+                    int64_t pk = packed[it - codes];
+                    int64_t node = pk >> 32;
+                    int64_t npos = pk & 0xFFFFFFFF;
+                    const int8_t* g = concat + noff[node];
+                    // maximal run: left from (npos, rs) inclusive
+                    int64_t lt = npos + 1 < rs + 1 ? npos + 1 : rs + 1;
+                    int64_t i = 0;
+                    while (i < lt && g[npos - i] == s[rs - i]) i++;
+                    int64_t rs0 = rs - (i - 1);
+                    int64_t np0 = npos - (i - 1);
+                    int64_t rt = nlen[node] - np0 < L - rs0
+                                     ? nlen[node] - np0 : L - rs0;
+                    int64_t j = 0;
+                    while (j < rt && g[np0 + j] == s[rs0 + j]) j++;
+                    int64_t cross = (rs0 + j < L && np0 + j == nlen[node]
+                                     && has_next[node]) ? 1 : 0;
+                    int64_t mleft = (row % 2 == 0 && rs0 > 0 && np0 == 0
+                                     && prev_cnt[node] > 0) ? 1 : 0;
+                    buf.push_back(row);
+                    buf.push_back(rs);
+                    buf.push_back(node);
+                    buf.push_back(rs0);
+                    buf.push_back(np0);
+                    buf.push_back(j);
+                    buf.push_back(cross);
+                    buf.push_back(mleft);
+                }
+            }
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (auto& b : bufs) total += (int64_t)(b.size() / 8);
+    if (total * 8 <= cap * 8 && total <= cap) {
+        int64_t off = 0;
+        for (auto& b : bufs) {
+            if (!b.empty())
+                memcpy(out + off, b.data(), b.size() * sizeof(int64_t));
+            off += (int64_t)b.size();
+        }
+    }
+    return total;
+}
+
 }  // extern "C"
