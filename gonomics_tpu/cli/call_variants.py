@@ -433,13 +433,19 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
 
     read_filters = [lambda s: s.mapq >= min_mapq]
 
+    # when several files load concurrently, each native scatter runs
+    # single-threaded (one core per file) — oversubscribing threads
+    # inside a saturated pool SLOWED the 2-file load ~2x
+    nt = 1 if len(experimental_files) + len(normal_files) > 1 else 0
+
     def load_one(fn: str):
         if native.available() and not samio._is_bam(fn):
             header = samio.read_header_text(fn)
             if not header.text:
                 raise SystemExit("ERROR: sam/bam files must have headers")
             return header, pileup_dense_from_sam_path(fn, header, min_mapq,
-                                                      mesh=mesh)
+                                                      mesh=mesh,
+                                                      nthreads=nt)
         header, reads = samio.read(fn)
         if not header.text:
             raise SystemExit("ERROR: sam/bam files must have headers")
@@ -525,10 +531,23 @@ def call_variants(experimental_files: list[str], normal_files: list[str],
             emit = np.nonzero(cand & indel_pos)[0].tolist()
             vec_idx = np.nonzero(vec_mask)[0]
             if len(vec_idx):
-                passed = _vector_snv_pass(
-                    cds, exists, depths, expsum, ref_codes, vec_idx, lo,
-                    n_exp, max_p, min_af, max_af, max_strand_bias,
-                    min_coverage, min_alt_reads)
+                passed = None
+                if max_p <= 1.0:
+                    # SNV cascade + Fisher tail in one threaded C pass
+                    passed = native.cv_snv_pass(
+                        [None if cd is None else cd.counts for cd in cds],
+                        [0 if cd is None else cd.lo - lo for cd in cds],
+                        [0 if cd is None else cd.counts.shape[0]
+                         for cd in cds],
+                        exists, depths, expsum,
+                        ref_codes.astype(np.int8), vec_idx, n_exp,
+                        max_p, min_af, max_af, max_strand_bias,
+                        min_coverage, min_alt_reads)
+                if passed is None:
+                    passed = _vector_snv_pass(
+                        cds, exists, depths, expsum, ref_codes, vec_idx,
+                        lo, n_exp, max_p, min_af, max_af,
+                        max_strand_bias, min_coverage, min_alt_reads)
                 emit.extend(vec_idx[passed].tolist())
             for p_off in sorted(emit):
                 pos = lo + p_off

@@ -84,6 +84,16 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int32]
+            lib.cv_snv_pass.restype = ctypes.c_int64
+            lib.cv_snv_pass.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
             lib.graph_hits.restype = ctypes.c_int64
             lib.graph_hits.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -113,13 +123,13 @@ def _load():
                 ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int32]
-            lib.runs_to_counts.restype = None
+            lib.runs_to_counts.restype = ctypes.c_int32
             lib.runs_to_counts.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_int32]
+                ctypes.c_void_p, ctypes.c_int32]
             lib.format_sam_lines.restype = ctypes.c_int64
             lib.format_sam_lines.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,      # qnames
@@ -320,6 +330,48 @@ def seed_vote(fwd, rev, offs, k: int, table_codes, table_pos,
     return diag, votes, second, strand.view(bool)
 
 
+def cv_snv_pass(counts_list, clo, cspan, exists, depths, expsum,
+                ref_codes, idx, n_exp: int, max_p: float, min_af: float,
+                max_af: float, max_strand_bias: float, min_coverage: int,
+                min_alt_reads: int, nthreads: int = 0):
+    """callVariants SNV decision cascade + Fisher tail for candidate
+    sites in one threaded C pass (call_variants._vector_snv_pass
+    semantics, no-miss). Returns a bool (C,) site-pass mask or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_samp = len(counts_list)
+    if nthreads <= 0:
+        nthreads = min(4, os.cpu_count() or 1)
+    dts = {c.dtype for c in counts_list if c is not None}
+    # mixed dtypes (one sample's scatter saturated to int32): widen all
+    dt = np.int16 if dts == {np.dtype(np.int16)} else np.int32
+    is16 = np.dtype(dt) == np.int16
+    keep = [None if c is None else np.ascontiguousarray(c, dt)
+            for c in counts_list]
+    ptrs = np.array([0 if c is None else c.ctypes.data for c in keep],
+                    np.uintp)
+    clo = np.ascontiguousarray(clo, np.int64)
+    cspan = np.ascontiguousarray(cspan, np.int64)
+    exists = np.ascontiguousarray(exists, np.uint8)
+    depths = np.ascontiguousarray(depths, np.int32)
+    expsum = np.ascontiguousarray(expsum, np.int32)
+    ref_codes = np.ascontiguousarray(ref_codes, np.int8)
+    idx = np.ascontiguousarray(idx, np.int64)
+    L = exists.shape[1]
+    out = np.zeros(len(idx), np.uint8)
+    vp = ctypes.c_void_p
+    lib.cv_snv_pass(ptrs.ctypes.data_as(vp), clo.ctypes.data_as(vp),
+                    cspan.ctypes.data_as(vp), exists.ctypes.data_as(vp),
+                    depths.ctypes.data_as(vp), expsum.ctypes.data_as(vp),
+                    ref_codes.ctypes.data_as(vp), idx.ctypes.data_as(vp),
+                    len(idx), L, 0, n_samp, n_exp,
+                    max_p, min_af, max_af, max_strand_bias,
+                    min_coverage, min_alt_reads, int(is16),
+                    out.ctypes.data_as(vp), nthreads)
+    return out.view(bool)
+
+
 def graph_hits(seq2: np.ndarray, row_len: np.ndarray, k: int,
                codes: np.ndarray, packed: np.ndarray, concat: np.ndarray,
                noff: np.ndarray, nlen: np.ndarray, has_next: np.ndarray,
@@ -489,15 +541,27 @@ def runs_to_counts(starts, lens, fwds, ridx, bases, want_refidx: int,
     fwds = np.ascontiguousarray(fwds, np.uint8)
     ridx = np.ascontiguousarray(ridx, np.int32)
     bases = np.ascontiguousarray(bases, np.int8)
-    counts = np.zeros((span, 13, 2), np.int32)
     cnt2 = np.zeros((span, 13), np.int32)
     depth = np.zeros(span, np.int32)
     vp = ctypes.c_void_p
+    # int16 counts first (the random-write scatter is bandwidth-bound;
+    # int16 rows measured ~40% faster); saturation of any cell (>32k of
+    # one base+strand at one position) retries in int32
+    counts16 = np.zeros((span, 13, 2), np.int16)
+    rc = lib.runs_to_counts(
+        starts.ctypes.data_as(vp), lens.ctypes.data_as(vp),
+        fwds.ctypes.data_as(vp), ridx.ctypes.data_as(vp),
+        bases.ctypes.data_as(vp), len(starts), want_refidx, lo, span,
+        None, counts16.ctypes.data_as(vp), cnt2.ctypes.data_as(vp),
+        depth.ctypes.data_as(vp), nthreads)
+    if rc == 0:
+        return counts16, cnt2, depth
+    counts = np.zeros((span, 13, 2), np.int32)
     lib.runs_to_counts(
         starts.ctypes.data_as(vp), lens.ctypes.data_as(vp),
         fwds.ctypes.data_as(vp), ridx.ctypes.data_as(vp),
         bases.ctypes.data_as(vp), len(starts), want_refidx, lo, span,
-        counts.ctypes.data_as(vp), cnt2.ctypes.data_as(vp),
+        counts.ctypes.data_as(vp), None, cnt2.ctypes.data_as(vp),
         depth.ctypes.data_as(vp), nthreads)
     return counts, cnt2, depth
 

@@ -286,7 +286,8 @@ def sum_piles(piles: list[Pile]) -> Pile:
 
 
 def pileup_dense_from_sam_path(path: str, header: Header, min_mapq: int,
-                               mesh=None) -> dict[int, "_ChromCounts"]:
+                               mesh=None,
+                               nthreads: int = 0) -> dict[int, "_ChromCounts"]:
     """pileup_dense straight from a SAM text file through the native
     tokenizer (native/seqio.cpp sam_scatter): one C pass builds the
     scatter runs + indel events, skipping Sam-object materialization.
@@ -309,15 +310,16 @@ def pileup_dense_from_sam_path(path: str, header: Header, min_mapq: int,
         res = native.sam_scatter(text, [c.name for c in header.chroms],
                                  min_mapq)
         if res is not None:
-            return _dense_from_runs(header, *res, mesh=mesh)
+            return _dense_from_runs(header, *res, mesh=mesh,
+                                    nthreads=nthreads)
     _, reads = samio.read(path)
     return pileup_dense(reads, header,
                         [lambda s: s.mapq >= min_mapq], mesh=mesh)
 
 
 def _dense_from_runs(header: Header, starts, lens, fwds, ridx, bases,
-                     del_ev, ins_ev, ins_str: bytes,
-                     mesh=None) -> dict[int, "_ChromCounts"]:
+                     del_ev, ins_ev, ins_str: bytes, mesh=None,
+                     nthreads: int = 0) -> dict[int, "_ChromCounts"]:
     chrom_data: dict[int, _ChromCounts] = {}
 
     def cd_for(refidx: int) -> _ChromCounts:
@@ -349,7 +351,8 @@ def _dense_from_runs(header: Header, starts, lens, fwds, ridx, bases,
             span = hi - lo + 1
             if mesh is None:
                 got = native.runs_to_counts(starts, lens, fwds, ridx,
-                                            bases, int(refidx), lo, span)
+                                            bases, int(refidx), lo, span,
+                                            nthreads=nthreads)
                 if got is not None:
                     cd.counts, cd.cnt2, cd.depth_arr = got
                     continue

@@ -15,6 +15,8 @@
 #include <cstdlib>
 #include <chrono>
 #include <random>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 static double log_hyp(int a, int b, int c, int d) {
@@ -45,6 +47,9 @@ int main(int argc, char** argv) {
     long reads = std::atol(argv[2]);
     int L = std::atoi(argv[3]);
     unsigned seed = argc > 4 ? std::atoi(argv[4]) : 0;
+    int T = argc > 5 ? std::atoi(argv[5]) : 1;  // worker threads (the
+        // reference fans out per-file pileup goroutines + site workers,
+        // callVariants.go:63-66)
 
     std::mt19937 rng(seed);
     std::uniform_int_distribution<int> base(0, 3);
@@ -53,23 +58,56 @@ int main(int argc, char** argv) {
     for (long i = 0; i < g; i++) ref[i] = (int8_t)base(rng);
 
     auto t0 = std::chrono::steady_clock::now();
-    // pileup: counts[pos][base][strand] for exp and norm samples
+    // pileup: counts[pos][base][strand] for exp and norm samples;
+    // threads scatter into private tensors, merged after (the per-file
+    // goroutine shape of the reference)
     std::vector<uint16_t> exp_c(g * 8, 0), norm_c(g * 8, 0);
     std::uniform_int_distribution<long> startd(0, g - L);
-    for (long r = 0; r < reads; r++) {
-        long s = startd(rng);
-        int strand = (int)(r & 1);
-        bool is_exp = (r & 2) == 0;
-        auto& cnt = is_exp ? exp_c : norm_c;
-        for (int j = 0; j < L; j++) {
-            int bb = ref[s + j];
-            if (u(rng) < 0.01) bb = (bb + 1) & 3;        // errors/variants
-            cnt[(s + j) * 8 + bb * 2 + strand]++;
+    {
+        int PT = T <= 1 ? 1 : T;
+        std::vector<std::vector<uint16_t>> pe(PT), pn(PT);
+        auto pile_worker = [&](int t) {
+            std::vector<uint16_t>& ec = PT == 1 ? exp_c : pe[t];
+            std::vector<uint16_t>& nc = PT == 1 ? norm_c : pn[t];
+            if (PT > 1) {
+                ec.assign(g * 8, 0);
+                nc.assign(g * 8, 0);
+            }
+            std::mt19937 trng(seed + 1000003u * t);
+            std::uniform_real_distribution<double> tu(0, 1);
+            std::uniform_int_distribution<long> tstart(0, g - L);
+            long lo_r = t * (reads / PT);
+            long hi_r = t == PT - 1 ? reads : (t + 1) * (reads / PT);
+            for (long r = lo_r; r < hi_r; r++) {
+                long s = tstart(trng);
+                int strand = (int)(r & 1);
+                bool is_exp = (r & 2) == 0;
+                auto& cnt = is_exp ? ec : nc;
+                for (int j = 0; j < L; j++) {
+                    int bb = ref[s + j];
+                    if (tu(trng) < 0.01) bb = (bb + 1) & 3;
+                    cnt[(s + j) * 8 + bb * 2 + strand]++;
+                }
+            }
+        };
+        if (PT == 1) {
+            pile_worker(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < PT; t++) pool.emplace_back(pile_worker, t);
+            for (auto& th : pool) th.join();
+            for (int t = 0; t < PT; t++)
+                for (long i = 0; i < g * 8; i++) {
+                    exp_c[i] += pe[t][i];
+                    norm_c[i] += pn[t][i];
+                }
         }
     }
     // per-site: depth, possible alts, Fisher exact exp-vs-norm per alt
-    long sites = 0, variants = 0;
-    for (long p = 0; p < g; p++) {
+    std::atomic<long> sites_g{0}, variants_g{0};
+    auto site_worker = [&](long p_lo, long p_hi) {
+        long sites = 0, variants = 0;
+        for (long p = p_lo; p < p_hi; p++) {
         int de = 0, dn = 0;
         int eb[4], nb[4];
         for (int bbb = 0; bbb < 4; bbb++) {
@@ -87,6 +125,21 @@ int main(int argc, char** argv) {
             if (pv < 0.001) variants++;
         }
     }
+        sites_g += sites;
+        variants_g += variants;
+    };
+    if (T <= 1) {
+        site_worker(0, g);
+    } else {
+        std::vector<std::thread> pool;
+        long chunk = (g + T - 1) / T;
+        for (int t = 0; t < T; t++) {
+            long lo = t * chunk, hi = lo + chunk < g ? lo + chunk : g;
+            if (lo < hi) pool.emplace_back(site_worker, lo, hi);
+        }
+        for (auto& th : pool) th.join();
+    }
+    long sites = sites_g.load(), variants = variants_g.load();
     auto t1 = std::chrono::steady_clock::now();
     double secs = std::chrono::duration<double>(t1 - t0).count();
     std::printf("%.0f %ld\n", sites / secs, variants);

@@ -19,6 +19,8 @@
 #include <cstring>
 #include <chrono>
 #include <random>
+#include <atomic>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -125,6 +127,8 @@ int main(int argc, char** argv) {
     long n_reads = std::atol(argv[2]);
     int L = std::atoi(argv[3]);
     unsigned seed = argc > 4 ? std::atoi(argv[4]) : 0;
+    int T = argc > 5 ? std::atoi(argv[5]) : 1;  // worker-pool threads
+                                                // (gsw.go -t, default 4)
 
     std::mt19937_64 rng(seed);
     std::uniform_int_distribution<int> base(0, 3);
@@ -163,15 +167,17 @@ int main(int argc, char** argv) {
         }
     }
 
-    uint64_t checksum = 0;
-    char line[1024];
-    std::vector<int64_t> mat;
-    std::vector<uint8_t> trace;
-    std::vector<uint8_t> route(4096);
-    int route_len = 0;
-    std::vector<int8_t> rc(L);
+    std::atomic<uint64_t> checksum_g{0};
     auto t0 = std::chrono::steady_clock::now();
-    for (long r = 0; r < n_reads; r++) {
+    auto worker = [&](long r_lo, long r_hi) {
+        uint64_t checksum = 0;
+        char line[1024];
+        std::vector<int64_t> mat;
+        std::vector<uint8_t> trace;
+        std::vector<uint8_t> route(4096);
+        int route_len = 0;
+        std::vector<int8_t> rc(L);
+        for (long r = r_lo; r < r_hi; r++) {
         const int8_t* fwd = reads.data() + r * L;
         for (int i = 0; i < L; i++) rc[i] = (int8_t)(3 - fwd[L - 1 - i]);
         int64_t perfect = 0;
@@ -236,7 +242,21 @@ int main(int argc, char** argv) {
                                 r, best.fwd ? 0 : 16, best.pos + 1, L,
                                 (long long)best.score);
         checksum += (uint64_t)(len + best.score);
+        }
+        checksum_g += checksum;
+    };
+    if (T <= 1) {
+        worker(0, n_reads);
+    } else {
+        std::vector<std::thread> pool;
+        long chunk = (n_reads + T - 1) / T;
+        for (int t = 0; t < T; t++) {
+            long a = t * chunk, b = a + chunk < n_reads ? a + chunk : n_reads;
+            if (a < b) pool.emplace_back(worker, a, b);
+        }
+        for (auto& th : pool) th.join();
     }
+    uint64_t checksum = checksum_g.load();
     auto t1 = std::chrono::steady_clock::now();
     double secs = std::chrono::duration<double>(t1 - t0).count();
     std::printf("%.0f %llu\n", n_reads / secs,

@@ -11,6 +11,7 @@
 // Exposed as a C ABI for Python ctypes (gonomics_tpu/native.py).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -621,12 +622,13 @@ int64_t fa_find_windows(const int8_t* ref, const int8_t* fq,
 // cnt2 (span x 13, strand-summed) and depth (span) are filled in the
 // same pass — they feed callVariants' vectorized prescreen without
 // extra numpy reductions over the dense tensor.
-void runs_to_counts(const int32_t* starts, const int32_t* lens,
-                    const uint8_t* fwds, const int32_t* ridx,
-                    const int8_t* bases, int64_t n_runs,
-                    int32_t want_refidx, int64_t lo, int64_t span,
-                    int32_t* counts, int32_t* cnt2, int32_t* depth,
-                    int32_t nthreads) {
+int32_t runs_to_counts(const int32_t* starts, const int32_t* lens,
+                       const uint8_t* fwds, const int32_t* ridx,
+                       const int8_t* bases, int64_t n_runs,
+                       int32_t want_refidx, int64_t lo, int64_t span,
+                       int32_t* counts, int16_t* counts16,
+                       int32_t* cnt2, int32_t* depth,
+                       int32_t nthreads) {
     // per-run base offsets (prefix sum over ALL runs)
     std::vector<int64_t> boff(n_runs);
     int64_t acc = 0;
@@ -636,7 +638,13 @@ void runs_to_counts(const int32_t* starts, const int32_t* lens,
     }
     if (nthreads < 1) nthreads = 1;
     int64_t chunk = (span + nthreads - 1) / nthreads;
-    auto work = [&](int t) {
+    // The random-write scatter pass is cache/bandwidth bound: int32x26
+    // rows measured ~40% slower than int16x26, so the preferred output
+    // is the caller-provided int16 tensor (counts16). Saturation of any
+    // cell (needs >32k coverage of one base+strand at one position)
+    // returns 1 and the caller retries in int32 mode.
+    std::vector<uint8_t> sat(nthreads, 0);
+    auto scatter = [&](int t, auto* tgt) {
         int64_t r_lo = lo + t * chunk;
         int64_t r_hi = r_lo + chunk;
         if (r_hi > lo + span) r_hi = lo + span;
@@ -652,39 +660,54 @@ void runs_to_counts(const int32_t* starts, const int32_t* lens,
             int32_t strand = fwds[r];
             for (int64_t p = cs; p < ce; p++) {
                 int64_t bb = (int64_t)(*bp++);
-                counts[(p - lo) * 26 + bb * 2 + strand]++;
+                if (++tgt[(p - lo) * 26 + bb * 2 + strand] == 0x7FFF)
+                    sat[t] = 1;
             }
         }
     };
-    if (nthreads == 1) {
-        work(0);
+    auto run_pool = [&](auto fn) {
+        if (nthreads == 1) {
+            fn(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < nthreads; t++) pool.emplace_back(fn, t);
+            for (auto& th : pool) th.join();
+        }
+    };
+    if (counts16) {
+        run_pool([&](int t) { scatter(t, counts16); });
+        for (int t = 0; t < nthreads; t++)
+            if (sat[t]) return 1;  // caller retries in int32 mode
     } else {
-        std::vector<std::thread> pool;
-        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
-        for (auto& th : pool) th.join();
+        run_pool([&](int t) { scatter(t, counts); });
     }
-    // derive the strand-summed matrix + depth in one sweep
+    // derive the strand-summed matrix + depth in one sequential sweep
     auto sweep = [&](int t) {
         int64_t r_lo = t * chunk, r_hi = r_lo + chunk;
         if (r_hi > span) r_hi = span;
         for (int64_t rel = r_lo; rel < r_hi; rel++) {
-            const int32_t* row = counts + rel * 26;
             int32_t dtot = 0;
-            for (int64_t bb = 0; bb < 13; bb++) {
-                int32_t v = row[bb * 2] + row[bb * 2 + 1];
-                cnt2[rel * 13 + bb] = v;
-                dtot += v;
+            if (counts16) {
+                const int16_t* row = counts16 + rel * 26;
+                for (int64_t bb = 0; bb < 13; bb++) {
+                    int32_t v = (int32_t)row[bb * 2]
+                                + (int32_t)row[bb * 2 + 1];
+                    cnt2[rel * 13 + bb] = v;
+                    dtot += v;
+                }
+            } else {
+                const int32_t* row = counts + rel * 26;
+                for (int64_t bb = 0; bb < 13; bb++) {
+                    int32_t v = row[bb * 2] + row[bb * 2 + 1];
+                    cnt2[rel * 13 + bb] = v;
+                    dtot += v;
+                }
             }
             depth[rel] = dtot;
         }
     };
-    if (nthreads == 1) {
-        sweep(0);
-    } else {
-        std::vector<std::thread> pool;
-        for (int t = 0; t < nthreads; t++) pool.emplace_back(sweep, t);
-        for (auto& th : pool) th.join();
-    }
+    run_pool(sweep);
+    return 0;
 }
 
 // Batched binary search over the sorted k-mer code table (the read
@@ -1236,6 +1259,116 @@ int sam_scatter(const uint8_t* text, int64_t n,
     counts_out[3] = n_ins;
     counts_out[4] = ins_off;
     return 0;
+}
+
+// Vectorized-SNV decision pass of callVariants (the C form of
+// cli/call_variants._vector_snv_pass, testVariant.go:307-388 cascade):
+// for every candidate site, for every experimental sample and possible
+// alt base, run the exclusion cascade + one-sided Fisher tail and flag
+// sites where any (sample, alt) passes p < max_p. Passing sites re-run
+// the exact scalar caller, so this pass only needs to be no-miss; the
+// Fisher initial term uses lgamma (the python path's log-factorial
+// cumsum agrees to ~1e-14 and callers apply a 1e-9 margin).
+int64_t cv_snv_pass(const void** counts, const int64_t* clo,
+                    const int64_t* cspan,
+                    const uint8_t* exists, const int32_t* depths,
+                    const int32_t* expsum, const int8_t* ref_codes,
+                    const int64_t* idx, int64_t C, int64_t L, int64_t lo,
+                    int32_t n_samp, int32_t n_exp,
+                    double max_p, double min_af, double max_af,
+                    double max_sb, int32_t min_coverage,
+                    int32_t min_alt_reads, int32_t counts_are_16,
+                    uint8_t* site_pass, int32_t nthreads) {
+    (void)lo;
+    auto cell = [&](int s, int64_t rel, int i) -> int64_t {
+        return counts_are_16
+            ? (int64_t)((const int16_t*)counts[s])[rel * 26 + i]
+            : (int64_t)((const int32_t*)counts[s])[rel * 26 + i];
+    };
+    if (nthreads < 1) nthreads = 1;
+    const double thresh = max_p * (1 + 1e-9);
+    int64_t chunk = (C + nthreads - 1) / nthreads;
+    auto lf = [](int64_t x) { return lgamma((double)x + 1.0); };
+    auto work = [&](int t) {
+        int64_t k0 = t * chunk;
+        int64_t k1 = k0 + chunk < C ? k0 + chunk : C;
+        for (int64_t k = k0; k < k1; k++) {
+            int64_t p = idx[k];
+            site_pass[k] = 0;
+            // per-sample (13,2) gathers, masked by exists
+            bool has_norm = false;
+            for (int s = n_exp; s < n_samp && !has_norm; s++)
+                has_norm = exists[(size_t)s * L + p] != 0;
+            int64_t Bc[13][2] = {};
+            int64_t dep_b = 0;
+            for (int s = has_norm ? n_exp : 0;
+                 s < (has_norm ? n_samp : n_exp); s++) {
+                if (!exists[(size_t)s * L + p]) continue;
+                int64_t rel = p - clo[s];
+                if (counts[s] && rel >= 0 && rel < cspan[s]) {
+                    for (int c = 0; c < 13; c++) {
+                        Bc[c][0] += cell(s, rel, c * 2);
+                        Bc[c][1] += cell(s, rel, c * 2 + 1);
+                    }
+                }
+                dep_b += depths[(size_t)s * L + p];
+            }
+            int rc_code = ref_codes[p];
+            if (rc_code < 0) rc_code = 0;
+            if (rc_code > 12) rc_code = 12;
+            const int32_t* es = expsum + (size_t)p * 13;
+            for (int e = 0; e < n_exp && !site_pass[k]; e++) {
+                if (!exists[(size_t)e * L + p]) continue;
+                int64_t rel = p - clo[e];
+                bool in_e = counts[e] && rel >= 0 && rel < cspan[e];
+                int64_t dep_e = depths[(size_t)e * L + p];
+                for (int alt = 0; alt < 13; alt++) {
+                    if (es[alt] <= 0 || alt == rc_code || alt == 10)
+                        continue;  // 10 = Gap column
+                    int64_t fwd = in_e ? cell(e, rel, alt * 2) : 0;
+                    int64_t c = in_e ? cell(e, rel, alt * 2)
+                                       + cell(e, rel, alt * 2 + 1)
+                                     : 0;
+                    int64_t dall = Bc[alt][0] + Bc[alt][1];
+                    int64_t a = dep_e - c;
+                    int64_t b = dep_b - dall;
+                    int64_t d = dall;
+                    if (!has_norm) { b -= a; d -= c; }
+                    double fsb = (double)fwd / (double)c;
+                    if (fsb > max_sb || fsb < 1 - max_sb) continue;
+                    if (c < min_alt_reads) continue;
+                    if (a == b && c == d) continue;
+                    double rc = (double)c / (double)(c + a);
+                    double rd = (double)d / (double)(d + b);
+                    if (rc < rd) continue;
+                    if (a + c < min_coverage) continue;
+                    if (rc < min_af || rc > max_af) continue;
+                    int64_t n = a + b + c + d;
+                    double curr = exp(lf(a + b) + lf(c + d) + lf(a + c)
+                                      + lf(b + d) - lf(n) - lf(a) - lf(b)
+                                      - lf(c) - lf(d));
+                    double total = curr;
+                    while (a > 0 && d > 0) {
+                        a--; b++; c++; d--;
+                        curr *= (double)(a + 1) / (double)c
+                                * (double)(d + 1) / (double)b;
+                        total += curr;
+                    }
+                    if (total < thresh) { site_pass[k] = 1; break; }
+                }
+            }
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t np = 0;
+    for (int64_t k = 0; k < C; k++) np += site_pass[k];
+    return np;
 }
 
 // Graph-aligner batched seed hits (the host loop of
