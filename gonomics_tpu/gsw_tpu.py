@@ -660,10 +660,20 @@ class TpuGswAligner:
 
     @staticmethod
     def _concat3(left_route, total: int, right_route) -> list[CigarOp]:
-        from .gsw import _concat_routes
-
-        mid = _concat_routes(left_route, [CigarOp(total, "M")])
-        return _concat_routes(mid, right_route)
+        """left + [M total] + right with adjacent-run merging, in ONE
+        pass (gsw._concat_routes x2 copied the list twice — the
+        finalize hot spot at 2048-read batches)."""
+        out = [CigarOp(c.run_length, c.op) for c in left_route]
+        if out and out[-1].op == "M":
+            out[-1].run_length += total
+        else:
+            out.append(CigarOp(total, "M"))
+        for c in right_route:
+            if out[-1].op == c.op:
+                out[-1].run_length += c.run_length
+            else:
+                out.append(CigarOp(c.run_length, c.op))
+        return out
 
     @staticmethod
     def _route_of(ops: np.ndarray, row: int) -> list[CigarOp]:

@@ -238,6 +238,9 @@ class GswDpBatch:
         self._dims = {"left": [64, 64], "right": [64, 64]}  # sticky n, m
 
     ACHUNK = 1024  # row-chunk size for the prebuilt-array API
+                   # (A/B: 2048-row chunks measured ~5% SLOWER at
+                   # 2048-read batches — the bigger upload before the
+                   # first kernel start loses more than the saved RTT)
 
     @staticmethod
     def _bucket(x: int) -> int:
