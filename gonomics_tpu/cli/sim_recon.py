@@ -1,11 +1,13 @@
 """simRecon — simulate evolution along a tree, reconstruct ancestors,
 score accuracy (reference: cmd/simRecon/simRecon.go).
 
-The reference drives Go's global math/rand; this port takes an explicit
-numpy seed (-setSeed), so simulated sequences are deterministic for a
-seed but not byte-identical to the reference's stream (COVERAGE.md
-limitation). Accuracy maps print in Go's randomized map order upstream;
-here insertion order."""
+The reference drives Go's GLOBAL math/rand with no seed flag; on the
+reference's Go toolchain (go.mod >=1.25) top-level rand.Seed is a no-op
+and GODEBUG randautoseed=0 (exception.init) pins the legacy seed-1
+stream — which is exactly what its checked-in goldens encode. This port
+replays that stream bit-exactly via numbers.gorand (default seed 1):
+simOutT/leafOutT byte-match (tests/test_sim_evol.py). Accuracy maps
+print in Go's randomized map order upstream; here insertion order."""
 
 from __future__ import annotations
 
@@ -45,7 +47,9 @@ def reconstruct_seq(newick_input: str, fasta_input: str,
 def sim_recon(root_fasta: str, tree_file: str, gp: str, sim_out: str,
               leaf_out: str, recon_out: str, accuracy_out: str,
               base_acc_file: str = "", set_seed: int = 1) -> None:
-    rng = np.random.default_rng(set_seed)
+    from ..numbers.gorand import GoRand
+
+    rng = GoRand(set_seed)
     simulate_evolve(root_fasta, tree_file, gp, sim_out, leaf_out, rng)
     reconstruct_seq(tree_file, leaf_out, recon_out)
     answer, by_base = recon_accuracy(sim_out, recon_out, leaf_out, gp,

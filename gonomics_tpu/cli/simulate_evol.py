@@ -19,7 +19,12 @@ from ..phylo.etree import ETree, get_tree, read_newick, to_newick_string
 
 def genic(tree_file: str, in_file: str, out_file: str, *, set_seed: int = 1,
           sim_out_file: str = "", gene_pred_file: str = "") -> None:
-    rng = np.random.default_rng(set_seed)
+    from ..numbers.gorand import GoRand
+
+    # rand.Seed(setSeed) in the reference CLI (cmd/simulateEvol/genic.go:66)
+    # — the genic path now replays Go's stream bit-exactly like the
+    # nonCoding/withIndels paths (closes the last simulate parity gap)
+    rng = GoRand(set_seed)
     tree = etreemod.read_tree(tree_file, in_file)
     simulate.simulate_genic(in_file, tree, gene_pred_file, True, rng)
     nodes = get_tree(tree)

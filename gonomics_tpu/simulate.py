@@ -447,7 +447,7 @@ def rand_gene(rng: np.random.Generator, name: str, length: int,
     seq = [dna.A, dna.T, dna.G]
     for _ in range(length - 6):
         seq.append(choose_random_base(rng, gc_content))
-    r = rng.random()
+    r = _rand01(rng)
     # reference quirk: 1/3 is integer division (0), so TAA always wins
     if r < 1 // 3:
         seq.extend([dna.T, dna.A, dna.G])
@@ -458,9 +458,17 @@ def rand_gene(rng: np.random.Generator, name: str, length: int,
     return [fastaio.Fasta(name, np.array(seq, np.int8))]
 
 
+def _randint_range(rng, lo: int, hi: int) -> int:
+    """numbers.RandIntInRange (random.go:9): int(Float64()*(y-x)) + x —
+    bit-exact under a GoRand stream; numpy integers otherwise."""
+    if hasattr(rng, "float64"):
+        return int(rng.float64() * (hi - lo)) + lo
+    return int(rng.integers(lo, hi))
+
+
 def _mutate_base(rng, b: int, branch_length: float) -> int:
     """simulate.mutateBase (simulate.go:142)."""
-    r = rng.random()
+    r = _rand01(rng)
     if branch_length == 0:
         return b
     if r < branch_length:
@@ -490,7 +498,7 @@ def _create_codons(seq_ext, gene, exon: int):
 
 def _pick_stop(rng, codon):
     """simulate.PickStop (simulate.go:434)."""
-    r = rng.random()
+    r = _rand01(rng)
     codon = [(dna.T, codon[0][1]), codon[1], codon[2]]
     second = dna.A if r < 0.66 else dna.G
     codon[1] = (second, codon[1][1])
@@ -542,7 +550,7 @@ def mutate_gene(rng: np.random.Generator, input_seq: np.ndarray,
                         new_aa = int(codonmod.translate_seq(np.array(
                             [b for b, _ in new_codon], np.int8))[0])
                         prob = BLOSUM[orig_aa][new_aa]
-                        if rng.random() < prob:
+                        if _rand01(rng) < prob:
                             new_sequence.extend(new_codon)
                         else:
                             new_sequence.extend(this_codon)
@@ -554,8 +562,8 @@ def mutate_gene(rng: np.random.Generator, input_seq: np.ndarray,
     for b, pos in new_sequence:
         ordered[pos] = b
     if deletions and not (ordered == dna.GAP).any():
-        if rng.random() <= branch_length:
-            del_pos = int(rng.integers(3, len(ordered) - 3))
+        if _rand01(rng) <= branch_length:
+            del_pos = _randint_range(rng, 3, len(ordered) - 3)
             ordered[del_pos] = dna.GAP
     return ordered
 

@@ -90,6 +90,38 @@ class TestGraphParity:
         for w, gt in zip(want, got):
             assert _same(w, gt), (girafio.to_string(w), girafio.to_string(gt))
 
+    def test_variant_graph_parity_default_params(self):
+        """The bench config's shape: variant graph + gsw-default seed
+        params (-i 32 -w 32, gsw.go:53-57), 150 bp reads with one SNP —
+        wave engine must stay byte-identical to the host engine."""
+        rng = np.random.default_rng(21)
+        ref = rng.integers(0, 4, 4000).astype(np.int8)
+        vcfs = [
+            Vcf(chrom="chr1", pos=p, id=".",
+                ref=dna.to_string(ref[p - 1:p]),
+                alt=[dna.to_string((ref[p - 1:p] + 1) % 4)],
+                info="SVTYPE=SNP")
+            for p in (800, 2000, 3100)
+        ]
+        g = variant_graph([Fasta("chr1", ref)], {"chr1": vcfs})
+        reads = []
+        for i in range(24):
+            s = int(rng.integers(0, len(ref) - 150))
+            seq = ref[s:s + 150].copy()
+            p = int(rng.integers(0, 150))
+            seq[p] = (seq[p] + 1) % 4
+            if i % 2:
+                seq = dna.reverse_complement(seq).astype(np.int8)
+            reads.append(to_big(Fastq(f"b{i}", seq,
+                                      np.full(150, 30, np.uint8))))
+        host = GswAligner(g)
+        tpu = TpuGswAligner(g, interpret=True)
+        want = [host.align_read(r) for r in reads]
+        got = tpu.align_batch(reads)
+        for w, gt in zip(want, got):
+            assert _same(w, gt), (girafio.to_string(w),
+                                  girafio.to_string(gt))
+
     def test_variant_graph_parity(self):
         rng = np.random.default_rng(13)
         ref = rng.integers(0, 4, 400).astype(np.int8)

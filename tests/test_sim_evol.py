@@ -35,7 +35,13 @@ def test_ils_reconstruct_seq_golden(tmp_path):
     assert np.allclose(got.seq, want.seq, atol=1e-3)
 
 
-def test_sim_recon_pipeline(tmp_path):
+def test_sim_recon_pipeline_goldens(tmp_path):
+    """Byte-exact vs the reference's own simRecon goldens: on its Go
+    toolchain (>=1.25) top-level rand.Seed is a no-op and
+    GODEBUG randautoseed=0 pins the legacy seed-1 stream — GoRand(1)
+    replays it exactly (closes the 'genic stream' parity gap). The
+    accuracy files are compared sorted, like the reference's own
+    IgnoreOrder test (Go map iteration order is randomized)."""
     td = f"{REF}/simRecon/testdata"
     sim = str(tmp_path / "sim.fa")
     leaf = str(tmp_path / "leaf.fa")
@@ -43,22 +49,15 @@ def test_sim_recon_pipeline(tmp_path):
     acc = str(tmp_path / "acc.txt")
     base_acc = str(tmp_path / "baseAcc.txt")
     sim_recon(f"{td}/debug.fasta", f"{td}/newickShortBranches.txt",
-              f"{td}/debug.gp", sim, leaf, recon, acc, base_acc, set_seed=7)
-    # same node-name structure as the reference's accOutT.txt golden
-    got_names = sorted(ln.split("\t")[0] for ln in fileio.read(acc))
-    want_names = sorted(ln.split("\t")[0]
-                        for ln in fileio.read(f"{td}/accOutT.txt"))
-    assert got_names == want_names
-    for ln in fileio.read(acc):
-        assert 0.0 <= float(ln.split("\t")[1]) <= 100.0
-    got_base = sorted(ln.split("\t")[0] for ln in fileio.read(base_acc))
-    want_base = sorted(ln.split("\t")[0]
-                       for ln in fileio.read(f"{td}/baseAccOutT.txt"))
-    assert got_base == want_base
-    # recon output carries the same node set as the reference golden
-    got_recs = sorted(r.name for r in fastaio.read(recon))
-    want_recs = sorted(r.name for r in fastaio.read(f"{td}/reconOutT.fasta"))
-    assert got_recs == want_recs
+              f"{td}/debug.gp", sim, leaf, recon, acc, base_acc,
+              set_seed=1)
+    for got, want in ((sim, "simOutT.fasta"), (leaf, "leafOutT.fasta"),
+                      (recon, "reconOutT.fasta")):
+        assert (open(got).read()
+                == open(f"{td}/{want}").read()), want
+    for got, want in ((acc, "accOutT.txt"), (base_acc, "baseAccOutT.txt")):
+        assert (sorted(fileio.read(got))
+                == sorted(fileio.read(f"{td}/{want}"))), want
 
 
 def test_with_indels_properties(tmp_path):
