@@ -90,7 +90,6 @@ class _SeedArrays:
     tail_len: np.ndarray  # (N,) tail part length
     obj: np.ndarray       # (N,) index into objs, -1 = single-part
     objs: list            # Seed objects for multi-part seeds
-    per_read: list        # per read: np array of seed ids, loop order
 
 
 @dataclass
@@ -183,8 +182,7 @@ class TpuGswAligner:
             SEQ[2 * i + 1, :Ls[i]] = r.seq_rc
         n_codes = Lmax - k + 1
         empty = _SeedArrays(*([np.zeros(0, np.int64)] * 10),
-                            np.full(0, -1, np.int64), [],
-                            [np.zeros(0, np.int64)] * R)
+                            np.full(0, -1, np.int64), [])
         if n_codes <= 0 or len(st["codes"]) == 0:
             return empty, SEQ, Ls
         row_len = np.repeat(Ls, 2)
@@ -332,17 +330,13 @@ class TpuGswAligner:
         # stable list.sort over insertion order)
         order = np.lexsort((key, -cols["total"], cols["read"]))
         cols = {nm: cols[nm][order] for nm in names}
-        reads_sorted = cols["read"]
-        starts = np.searchsorted(reads_sorted, np.arange(R + 1))
-        per_read = [np.arange(starts[r], starts[r + 1])
-                    for r in range(R)]
         sa = _SeedArrays(read=cols["read"],
                          strand=cols["strand"].astype(bool),
                          tid=cols["tid"], ts=cols["ts"], qs=cols["qs"],
                          total=cols["total"], tail_tid=cols["tail_tid"],
                          tail_ts=cols["tail_ts"], tail_qs=cols["tail_qs"],
                          tail_len=cols["tail_len"], obj=cols["obj"],
-                         objs=objs, per_read=per_read)
+                         objs=objs)
         return sa, SEQ, Ls
 
     # ---- wave machinery ----
