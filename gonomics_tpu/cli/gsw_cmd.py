@@ -68,7 +68,9 @@ def _align_tpu(args) -> None:
 
     records = fasta.read(args.files[0])
     al = TpuReadAligner(records, mesh=mesh,
-                        index_sharding=args.index_sharding)
+                        index_sharding=args.index_sharding,
+                        index_mode=args.index_mode,
+                        index_step=args.index_step)
     nproc = jax.process_count()
     pid = jax.process_index()
     sharded_out = nproc > 1
@@ -398,6 +400,14 @@ def main(argv=None) -> None:
                          "tpu: batched device aligner (SAM, .fa refs)")
     al.add_argument("--batch", type=int, default=2048,
                     help="TPU engine batch size")
+    al.add_argument("--index-mode", default="dense",
+                    choices=["dense", "sparse"],
+                    help="seed index: dense (code,pos) table, or the "
+                         "sparse genome-scale two-level table "
+                         "(step-sampled positions, ~6/step B/bp — for "
+                         "Gbp-class references)")
+    al.add_argument("--index-step", type=int, default=8,
+                    help="genome sampling step of the sparse index")
     al.add_argument("--index-sharding", default="replicated",
                     choices=["replicated", "prefix"],
                     help="tpu engine: k-mer index layout; prefix shards "
