@@ -246,8 +246,10 @@ class TpuReadAligner:
             n_pos = max(2, (len(self.genome) - self.k) // index_step + 1)
             # BB capped at 22: beyond that the bucket table + the
             # build's per-thread histograms dominate RSS (2^26 cost
-            # ~2 GB) for little probe speedup
-            self._sparse_bb = min(22, max(12, int(np.log2(n_pos)) - 3))
+            # ~2 GB) for little probe speedup. Also capped at 2k: the
+            # C bucket shift is code >> (2k - BB), which must be >= 0.
+            self._sparse_bb = min(22, max(12, int(np.log2(n_pos)) - 3),
+                                  2 * self.k)
             from . import native
 
             got = native.sparse_index_build(self.genome, self.k,
