@@ -255,43 +255,6 @@ class GswDpBatch:
         dims[1] = max(dims[1], self._bucket(m))
         return dims[0], dims[1]
 
-    def start_padded(self, side: str, al: np.ndarray, be: np.ndarray,
-                     nv: np.ndarray, mv: np.ndarray):
-        """Array-input dispatch: al (N, n) genome windows, be (N, m) read
-        parts, nv/mv (N,) true lengths, all prebuilt at dims_for(side)
-        shapes (the graph engine's vectorized window gather). Rows are
-        chunked to a fixed batch so compiled shapes never vary."""
-        if len(al) == 0:
-            return []
-        n, m = al.shape[1], be.shape[1]
-        dn, dm = self.dims_for(side, n, m)
-        if (dn, dm) != (n, m):  # sticky dims grew beyond the request
-            al = np.pad(al, ((0, 0), (0, dn - n)), constant_values=4)
-            be = np.pad(be, ((0, 0), (0, dm - m)), constant_values=4)
-            n, m = dn, dm
-        fn = _left_full if side == "left" else _right_full
-        handles = []
-        C = self.ACHUNK
-        N = len(al)
-        for c0 in range(0, N, C):
-            used = min(C, N - c0)
-            rows = C
-            alc = np.full((rows, n), 4, np.int8)
-            bec = np.full((rows, m), 4, np.int8)
-            nvc = np.zeros((rows, 1), np.int32)
-            mvc = np.zeros((rows, 1), np.int32)
-            alc[:used] = al[c0:c0 + used]
-            bec[:used] = be[c0:c0 + used]
-            nvc[:used, 0] = nv[c0:c0 + used]
-            mvc[:used, 0] = mv[c0:c0 + used]
-            res = fn(jnp.asarray(alc), jnp.asarray(bec), jnp.asarray(nvc),
-                     jnp.asarray(mvc), self.scores, n=n, m=m, gap=self.gap,
-                     interpret=self.interpret, prof16=self._prof16)
-            if hasattr(res, "copy_to_host_async"):
-                res.copy_to_host_async()
-            handles.append((res, used, n + m))
-        return handles
-
     def start_wave(self, al_l, be_l, nv_l, mv_l, al_r, be_r, nv_r, mv_r):
         """Fused dispatch of one wave: left rows + right rows in ONE
         jitted call -> ONE packed result array per chunk. Inputs are
@@ -366,69 +329,6 @@ class GswDpBatch:
             ro.append(unpack_ops(rbuf[:ur, 12:12 + ((Dr + 3) // 4)], Dr))
         return (np.concatenate(lm), np.concatenate(lo_),
                 np.concatenate(rm), np.concatenate(ro))
-
-    @staticmethod
-    def finish_padded(handles) -> tuple[np.ndarray, np.ndarray]:
-        """(meta (N, 3) int32 [score, i, j], ops (N, D) int8) across all
-        chunks of one start_padded call."""
-        from .wavefront import unpack_ops
-
-        if not handles:
-            return np.zeros((0, 3), np.int32), np.zeros((0, 0), np.int8)
-        for res, _, _ in handles:
-            if hasattr(res, "copy_to_host_async"):
-                res.copy_to_host_async()
-        fetched = jax.device_get([res for res, _, _ in handles])
-        metas, opss = [], []
-        for (_, used, D), buf in zip(handles, fetched):
-            buf = np.asarray(buf)
-            metas.append(np.ascontiguousarray(buf[:used, :12])
-                         .view(np.int32))
-            opss.append(unpack_ops(buf[:used, 12:], D))
-        return np.concatenate(metas), np.concatenate(opss)
-
-    def _start(self, side: str, jobs):
-        """Dispatch all fixed-size chunks for one side; returns handles."""
-        if not jobs:
-            return []
-        dims = self._dims[side]
-        dims[0] = max(dims[0], self._bucket(max(len(a) for a, _ in jobs)))
-        dims[1] = max(dims[1], self._bucket(max(len(b) for _, b in jobs)))
-        n, m = dims
-        fn = _left_full if side == "left" else _right_full
-        empty = (np.zeros(0, np.int8), np.zeros(0, np.int8))
-        handles = []
-        for c0 in range(0, len(jobs), self.CHUNK):
-            chunk = list(jobs[c0:c0 + self.CHUNK])
-            used = len(chunk)
-            chunk += [empty] * (self.CHUNK - used)
-            al, be, nv, mv = _pad_jobs(chunk, n, m)
-            res = fn(jnp.asarray(al), jnp.asarray(be), jnp.asarray(nv),
-                     jnp.asarray(mv), self.scores, n=n, m=m, gap=self.gap,
-                     interpret=self.interpret, prof16=self._prof16)
-            if hasattr(res, "copy_to_host_async"):
-                res.copy_to_host_async()  # stream back as soon as done
-            handles.append((res, used, n + m))
-        return handles
-
-    @staticmethod
-    def _finish(handles) -> list[tuple[int, list[CigarOp], int, int]]:
-        from .wavefront import unpack_ops
-
-        out: list[tuple[int, list[CigarOp], int, int]] = []
-        # one packed array per chunk; async-start every transfer first
-        for res, _, _ in handles:
-            if hasattr(res, "copy_to_host_async"):
-                res.copy_to_host_async()
-        fetched = jax.device_get([res for res, _, _ in handles])
-        for (_, used, D), buf in zip(handles, fetched):
-            buf = np.asarray(buf)
-            meta = np.ascontiguousarray(buf[:, :12]).view(np.int32)
-            ops = unpack_ops(buf[:, 12:], D)
-            routes = _routes_walk_order(ops)
-            out.extend((int(meta[b, 0]), routes[b], int(meta[b, 1]),
-                        int(meta[b, 2])) for b in range(used))
-        return out
 
     def run_both(self, left_jobs, right_jobs):
         """One wave: dispatch every chunk of both sides before fetching
